@@ -1,0 +1,48 @@
+"""Crawl configuration — the subset of the reference's ~90 flags that
+affects dataflow semantics (crawl/config.go:131-331, cmd/get.go:31-82).
+Defaults mirror the reference where it has one.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # admission (SURVEY §2.2)
+    excluded_hosts: tuple[str, ...] = ()       # F1; archive.org defaults added below
+    included_hosts: tuple[str, ...] = ()       # F2
+    exclude_strings: tuple[str, ...] = ()      # F3
+    include_strings: tuple[str, ...] = ()      # F4
+    max_hops: int = 3                          # F6 (reference default 0 = seeds only;
+                                               #     3 makes the synthetic crawl interesting)
+    max_redirect: int = 20                     # F7 (cmd/get.go:44)
+    domains_crawl: bool = False                # F8 (outlinks.go:100-164)
+    robots: bool = False                       # F10 — north-rule addition, off for
+                                               # reference-parity runs
+
+    # retry / politeness (SURVEY §2.4)
+    max_retry: int = 5                         # O5 (cmd/get.go:45)
+    retry_backoff_rounds: int = 1              # O5: linear backoff, rounds not seconds
+    per_host_budget: int = 16                  # O4 (--max-concurrent-per-domain default,
+                                               # cmd/get.go:53; enforced here, dead code there)
+    host_salt_buckets: int = 1                 # >1 splits a hot host into salted
+                                               # sub-partitions (north-rule skew tier);
+                                               # budget stays per-host (exact via window)
+
+    # dedup
+    use_seencheck: bool = True                 # D1-D7
+    bloom_prefilter: bool = False              # D9 — addition; prefilter only,
+                                               # exactness stays with the anti-join
+
+    # lifecycle
+    max_rounds: int = 64                       # O8 analogue (round-count, not wall-clock)
+    compact_every: int = 8                     # fold claimed-deletes into frontier
+                                               # (Iceberg compaction stand-in)
+
+    def with_default_exclusions(self) -> "CrawlConfig":
+        """The reference always appends archive.org/archive-it.org
+        (crawl/config.go:231)."""
+        merged = tuple(dict.fromkeys(self.excluded_hosts + ("archive.org", "archive-it.org")))
+        return CrawlConfig(**{**self.__dict__, "excluded_hosts": merged})

@@ -1,0 +1,83 @@
+"""Admission-control filters F1-F10 (SURVEY §2.2) as native Column ops.
+
+Reference: crawl/exclusion.go:10-58 (host include/exclude, string
+include/exclude), utils/url.go:105-127 (scheme), crawl/outlinks.go:77
+(max hops), capture.go:120-122 (max redirect), assets.go:84-87
+(self-reference guard).  All are pure predicates over frontier columns —
+expressed natively so they push down below fetch (SURVEY §4 design rule).
+
+The robots gate (F10) is a north-rule ADDITION (the reference has no
+robots handling): broadcast-join the frontier against the small robots
+cache on host, drop rows whose URL path starts with a disallowed prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zeno_spark.config import CrawlConfig
+
+
+def scheme_ok(url: Column) -> Column:
+    """F5 — http/https only (DedupeURLs drops others, utils/url.go:115)."""
+    return url.startswith("http://") | url.startswith("https://")
+
+
+def admission_predicate(cfg: CrawlConfig) -> Column:
+    """F1-F5 conjunction over (url, host) columns.  Native ops only."""
+    pred = scheme_ok(F.col("url"))
+    if cfg.excluded_hosts:
+        pred = pred & ~F.col("host").isin(*cfg.excluded_hosts)  # F1
+    if cfg.included_hosts:
+        pred = pred & F.col("host").isin(*cfg.included_hosts)  # F2
+    for s in cfg.exclude_strings:  # F3 — contains, not regex (exclusion.go:24-28)
+        pred = pred & ~F.col("url").contains(s)
+    if cfg.include_strings:  # F4 — disjunction (exclusion.go:31-43)
+        inc = F.lit(False)
+        for s in cfg.include_strings:
+            inc = inc | F.col("url").contains(s)
+        pred = pred & inc
+    return pred
+
+
+def apply_admission(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Gate applied at dequeue time (worker.go:117-125 applies the host
+    exclusion right after dequeue; we gate the whole scheduled batch)."""
+    return frontier.filter(admission_predicate(cfg))
+
+
+def hop_gate(hop_next: Column, cfg: CrawlConfig) -> Column:
+    """F6 — enqueue an outlink only if MaxHops >= hop+1 (outlinks.go:77)."""
+    return F.lit(cfg.max_hops) >= hop_next
+
+
+def redirect_gate(redirect: Column, cfg: CrawlConfig) -> Column:
+    """F7 — follow a redirect only while redirect < MaxRedirect
+    (capture.go:120-122)."""
+    return redirect < F.lit(cfg.max_redirect)
+
+
+def self_reference_guard(url: Column, parent_url: Column) -> Column:
+    """F9 — never fetch an asset equal to its own parent (assets.go:84-87)."""
+    return parent_url.isNull() | (url != parent_url)
+
+
+def apply_robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+    """F10 (addition): drop candidate URLs disallowed by the host's robots
+    rules.  The robots cache is tiny relative to the frontier -> broadcast
+    join; the prefix match is a native `exists` over the prefix array (no
+    Python).  Hosts absent from the cache are allowed (left join)."""
+    rules = F.broadcast(
+        robots.select(
+            F.col("host").alias("r_host"),
+            F.col("disallow_prefixes").alias("r_disallow"),
+        )
+    )
+    path = F.regexp_replace(F.col("url"), r"^https?://[^/]*", "")
+    joined = candidates.join(rules, candidates["host"] == rules["r_host"], "left")
+    blocked = F.exists(
+        F.coalesce(F.col("r_disallow"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    return joined.filter(~blocked).drop("r_host", "r_disallow")

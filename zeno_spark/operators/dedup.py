@@ -1,0 +1,176 @@
+"""URL-seen dedup, D1-D9 (SURVEY §2.3).
+
+The reference's seencheck is an EXACT check-and-set on FNV-1a64(url)
+against LevelDB (seencheck/seencheck.go:50-62).  The batch equivalent
+splits check and set into two steps of one round:
+
+  check:  candidates LEFT ANTI JOIN seen ON (url_hash, url)
+  set:    seen.append(new rows)           -- same round commit
+
+Joining on (url_hash, url) — not hash alone — makes the dedup exact even
+under 64-bit hash collisions; the hash keys the shuffle (cheap, uniform),
+the url equality is the tiebreak.  In-batch duplicates (D6,
+utils/url.go:97-112) are dropped with a deterministic keep-first-by-
+enqueue_seq window, matching the reference's first-occurrence-wins map.
+
+D9 (bloom prefilter) is a NORTH-RULE ADDITION — the reference has no
+bloom/cuckoo anywhere (grep -> 0 hits).  To preserve the "identical
+URL-seen set" invariant it is a PREFILTER ONLY: rows the bloom rejects
+are definitely-new and skip the anti-join; rows it accepts still go
+through the exact anti-join.  Results are bit-identical with the filter
+on or off; only the anti-join's left side shrinks.  The bloom is
+*partitioned*: one filter per url_hash bucket, built distributed with
+applyInPandas and applied with a cogrouped join — no driver collect, no
+10^10-row broadcast.  (The north rule's cuckoo overflow tier would slot
+in per-bucket when a bucket's fill rate exceeds the bloom's design point;
+at the sandbox scale the bloom never saturates, so the overflow tier is
+represented by the `overflow` flag in the built index and exercised in
+tests via a tiny m_bits.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_BLOOM_SCHEMA = "bucket int, m_bits long, k int, overflow boolean, bits binary"
+
+
+def in_batch_dedupe(df: DataFrame) -> DataFrame:
+    """D6 — one row per canonical URL (the reference keeps the first map
+    insertion, utils/url.go:97-112).  enqueue_seq is a function of
+    (round, url) so same-URL candidates tie on it; the (hop, type,
+    parent_url) tiebreak makes the winner deterministic regardless of
+    partitioning.  The oracle implements the identical ordering."""
+    w = Window.partitionBy("url_hash", "url").orderBy(
+        F.col("enqueue_seq").asc(),
+        F.col("hop").asc(),
+        F.col("type").asc(),
+        F.col("parent_url").asc_nulls_first(),
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """D1 'check' half: keep candidates not in the seen set.  Exact on
+    (url_hash, url)."""
+    return candidates.join(
+        seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
+# D9 — partitioned bloom prefilter
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k positions per hash by double hashing: pos_i = (h1 + i*h2) mod m.
+    Input hashes are already FNV-1a64 (uniform), so no re-hashing pass."""
+    h = hashes.astype(np.uint64)
+    h1 = h
+    h2 = (h >> np.uint64(32)) | (h << np.uint64(32))
+    h2 = h2 * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bucket_of(col, n_buckets: int):
+    """Bucket = url_hash mod n_buckets (non-negative)."""
+    return F.pmod(F.col(col) if isinstance(col, str) else col, F.lit(n_buckets)).cast("int")
+
+
+def build_bloom_index(
+    seen: DataFrame, n_buckets: int = 32, bits_per_key: int = 10, k: int = 4,
+    min_bits: int = 1 << 12, max_bits: int = 1 << 27,
+) -> DataFrame:
+    """One bloom per url_hash bucket, built distributed.  Returns a small
+    DataFrame (bucket, m_bits, k, overflow, bits).  `overflow` marks a
+    bucket whose key count blew past the size cap — the cuckoo-overflow
+    slot; such buckets are treated as always-maybe (prefilter disabled,
+    exactness unaffected)."""
+    keyed = seen.select(bucket_of("url_hash", n_buckets).alias("bucket"), "url_hash")
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
+        n = len(hashes)
+        m = min(max(int(n * bits_per_key), min_bits), max_bits)
+        m = (m + 63) // 64 * 64
+        overflow = n * bits_per_key > max_bits
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        if not overflow and n:
+            pos = _bloom_positions(hashes, m, k).ravel()
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame(
+            {
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "m_bits": [m],
+                "k": [k],
+                "overflow": [overflow],
+                "bits": [bits.tobytes()],
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandas(_build, schema=_BLOOM_SCHEMA)
+
+
+def bloom_prefilter(
+    candidates: DataFrame, bloom_index: DataFrame, n_buckets: int = 32
+) -> DataFrame:
+    """Tag candidates with `maybe_seen` by cogrouping with the per-bucket
+    blooms on the same bucket key (co-partitioned — each task tests its
+    bucket's rows against exactly one filter, vectorized in numpy).
+    Buckets with no bloom row (empty seen partition) => definitely new."""
+    out_schema = candidates.schema.add("maybe_seen", "boolean", False)
+    cand = candidates.withColumn("__bucket", bucket_of("url_hash", n_buckets))
+    blooms = bloom_index.withColumnRenamed("bucket", "__bucket")
+
+    cols = [f.name for f in candidates.schema.fields]
+
+    def _test(key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=cols + ["maybe_seen"])
+        if bloom_pdf.empty:
+            maybe = np.zeros(len(cand_pdf), dtype=bool)
+        elif bool(bloom_pdf["overflow"].iloc[0]):
+            maybe = np.ones(len(cand_pdf), dtype=bool)  # overflow tier: no prefilter
+        else:
+            bits = np.frombuffer(bloom_pdf["bits"].iloc[0], dtype=np.uint8)
+            m = int(bloom_pdf["m_bits"].iloc[0])
+            kk = int(bloom_pdf["k"].iloc[0])
+            hashes = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+            pos = _bloom_positions(hashes, m, kk)  # (k, n)
+            hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            maybe = hit.all(axis=0).astype(bool)
+        out = cand_pdf[cols].copy()
+        out["maybe_seen"] = maybe
+        return out
+
+    return (
+        cand.groupBy("__bucket")
+        .cogroup(blooms.groupBy("__bucket"))
+        .applyInPandas(_test, schema=out_schema)
+    )
+
+
+def dedupe_against_seen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    use_bloom: bool = False,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """The full D1 check: optional bloom prefilter, then exact anti-join.
+    Identical output with use_bloom True or False (prefilter-only
+    discipline — SURVEY §7 stage 3)."""
+    if not use_bloom:
+        return anti_join_seen(candidates, seen)
+    blooms = build_bloom_index(seen, n_buckets=n_buckets)
+    tagged = bloom_prefilter(candidates, blooms, n_buckets=n_buckets)
+    definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return definitely_new.unionByName(anti_join_seen(maybe, seen))

@@ -1,0 +1,84 @@
+"""Politeness scheduling, O1-O5 (SURVEY §2.4).
+
+The reference interleaves hosts round-robin (one item per host per turn,
+hosts in first-seen order, FIFO within host — queue/dequeue.go:135-158 +
+index/index.go:49-90) and *intends* a per-host concurrency cap of 16
+(--max-concurrent-per-domain, cmd/get.go:53; the enforcement is dead
+code, crawl/utils.go:81-84).
+
+Batch equivalent: one crawl round takes the first `per_host_budget` items
+of every host, FIFO by enqueue_seq:
+
+    row_number() OVER (PARTITION BY host ORDER BY enqueue_seq) <= budget
+
+which is exactly k turns of Zeno's round-robin for every host, and an
+*exact* enforcement of the per-domain cap the reference never wired up.
+
+Skew (the north rule's hot-host concern): a wide-crawl frontier is
+zipf-distributed, so PARTITION BY host alone puts a hot host's millions
+of pending rows through one window task.  Two-phase top-k fixes it:
+
+  phase 1: rank within (host, salt) where salt = url_hash % buckets —
+           parallel across buckets, keeps <= budget rows per salt bucket
+  phase 2: exact rank within host over the <= budget*buckets survivors
+
+Phase 2's input is tiny (budget*buckets rows/host), so the exact window
+is cheap; results are identical to the unsalted window because FIFO rank
+within host only needs the global smallest `budget` enqueue_seqs, and
+every one of them survives its salt bucket's local top-`budget`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from zeno_spark.config import CrawlConfig
+
+
+def schedulable(frontier: DataFrame, round_no: int) -> DataFrame:
+    """Rows eligible this round: retry backoff gate (O5) — pushed down to
+    the frontier scan as a native predicate."""
+    return frontier.filter(F.col("not_before_round") <= F.lit(round_no))
+
+
+def politeness_schedule(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Pick this round's fetch set: per-host FIFO top-`per_host_budget`."""
+    budget = cfg.per_host_budget
+    df = frontier
+    if cfg.host_salt_buckets > 1:
+        # phase 1 — salted local top-k (kills the hot-host single-task window)
+        salt = F.pmod(F.col("url_hash"), F.lit(cfg.host_salt_buckets))
+        w1 = Window.partitionBy("host", salt).orderBy(
+            F.col("enqueue_seq").asc(), F.col("url_hash").asc()
+        )
+        df = (
+            df.withColumn("__r1", F.row_number().over(w1))
+            .filter(F.col("__r1") <= budget)
+            .drop("__r1")
+        )
+    # phase 2 — exact per-host FIFO rank (O2+O3+O4)
+    w2 = Window.partitionBy("host").orderBy(
+        F.col("enqueue_seq").asc(), F.col("url_hash").asc()
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w2))
+        .filter(F.col("__rank") <= budget)
+        .drop("__rank")
+    )
+
+
+def backoff_retry_rows(failed: DataFrame, round_no: int, cfg: CrawlConfig) -> DataFrame:
+    """O5 — 429 rows re-enter the frontier with retry+1 and a linear
+    backoff (`retry*2s` sleep in the reference, capture.go:84-114, mapped
+    to `retry * retry_backoff_rounds` rounds).  Retries bypass the
+    seencheck (capture.go:319-330 sets BypassSeencheck on sendback)."""
+    return (
+        failed.filter(F.col("retry") + 1 <= F.lit(cfg.max_retry))
+        .withColumn("retry", F.col("retry") + 1)
+        .withColumn("bypass_seencheck", F.lit(True))
+        .withColumn(
+            "not_before_round",
+            F.lit(round_no + 1) + F.col("retry") * F.lit(cfg.retry_backoff_rounds),
+        )
+    )

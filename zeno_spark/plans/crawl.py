@@ -1,0 +1,323 @@
+"""The crawl job: Zeno's worker/queue fixpoint loop (crawl/crawl.go:30-290,
+worker.go:63-132, capture.go:184-607) re-expressed as synchronous batch
+rounds over snapshot-committed tables (SURVEY §3.4):
+
+  round r:
+    F    = frontier snapshot minus claimed rows, not_before_round <= r
+    F'   = admission gates (F1-F5, optional robots F10)     -- native filters
+    S    = politeness schedule: per-host FIFO top-budget     -- window (O2-O4)
+    R    = fetch(S): host-partitioned applyInPandas workers  -- X1-X3
+    new  = extract(R) ∪ redirects(R) -> canonicalize -> in-batch dedupe
+           -> [bloom prefilter] -> anti-join seen            -- P*, D1-D9
+    commit: fetched += R.ok; seen += new; frontier += new ∪ retries;
+            claimed += S; metrics += counters; round marker (atomic)
+
+Lifecycle parity:
+  * O10 termination: stop when the pending frontier is empty (finish.go:12-24)
+  * O11/O12 checkpoint+recovery: the round marker file is the WAL commit;
+    resume rolls partially-committed tables back to the last marker and
+    re-runs the crashed round idempotently (index/recovery.go:9-60 ->
+    snapshot-isolation semantics)
+  * seencheck inserts at DISCOVERY time (enqueue), exactly like the
+    reference (outlinks.go:59-63, crawl.go:217-235, capture.go:142-158),
+    so a URL pending in the frontier is already in `seen` and can never
+    be double-enqueued.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zeno_spark import schemas
+from zeno_spark.catalog import Catalog
+from zeno_spark.config import CrawlConfig
+from zeno_spark.functions import urls as U
+from zeno_spark.operators import dedup
+from zeno_spark.operators.admission import apply_admission, apply_robots_gate
+from zeno_spark.operators.extract import extract_candidates, redirect_candidates
+from zeno_spark.operators.fetch import fetch, split_results, to_fetched_rows
+from zeno_spark.operators.schedule import (
+    backoff_retry_rows,
+    politeness_schedule,
+    schedulable,
+)
+
+_TABLES = ("frontier", "seen", "claimed", "fetched", "metrics")
+
+
+def _claim_key():
+    """Unique key of a frontier row *attempt*: the item id plus the
+    url/redirect/retry coordinates (a retry or redirect continuation of
+    the same item is a distinct schedulable row)."""
+    return F.concat_ws(
+        "|", F.col("id"), F.col("url_hash"), F.col("redirect"), F.col("retry")
+    )
+
+
+@dataclass
+class RoundStats:
+    round: int
+    scheduled: int
+    fetched_ok: int
+    discovered: int
+    new_after_dedup: int
+
+
+class CrawlJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        pages: DataFrame,
+        links: DataFrame,
+        cfg: CrawlConfig,
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.catalog = Catalog(spark, warehouse)
+        self.pages = pages
+        self.links = links
+        self.robots = robots
+        self.frontier = self.catalog.table("frontier", schemas.FRONTIER)
+        self.seen = self.catalog.table("seen", schemas.SEEN)
+        self.claimed = self.catalog.table("claimed", schemas.CLAIMED)
+        self.fetched = self.catalog.table("fetched", schemas.FETCHED)
+        self.metrics = self.catalog.table("metrics", schemas.METRICS)
+        self.state_dir = os.path.join(warehouse, "_crawl_state")
+        os.makedirs(self.state_dir, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume (O11/O12)
+    # ------------------------------------------------------------------
+
+    def last_committed_round(self) -> int:
+        rounds = [
+            int(f[:-5])
+            for f in os.listdir(self.state_dir)
+            if f.endswith(".json") and f[:-5].isdigit()
+        ]
+        return max(rounds) if rounds else -1
+
+    def _versions(self) -> dict[str, int]:
+        return {t: getattr(self, t).current_version() for t in _TABLES}
+
+    def _write_marker(self, name: str, payload: dict) -> None:
+        tmp = os.path.join(self.state_dir, f".tmp-{name}")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.rename(tmp, os.path.join(self.state_dir, name))  # commit point
+
+    def _commit_round(self, round_no: int, stats: RoundStats) -> None:
+        self._write_marker(
+            f"{round_no:06d}.json",
+            {"round": round_no, "versions": self._versions(), "stats": stats.__dict__},
+        )
+
+    def recover(self) -> int:
+        """Roll tables back to the last committed marker (round or seed);
+        returns the next round to run, -1 meaning 'needs seeding'.
+        Partially committed work of a crashed round is dropped (orphan
+        manifests removed) and the round re-runs idempotently."""
+        last = self.last_committed_round()
+        if last >= 0:
+            with open(os.path.join(self.state_dir, f"{last:06d}.json")) as fh:
+                marker = json.load(fh)
+            for t in _TABLES:
+                getattr(self, t).rollback_to(marker["versions"][t])
+            return last + 1
+        seeded = os.path.join(self.state_dir, "seeded.json")
+        if os.path.exists(seeded):
+            with open(seeded) as fh:
+                marker = json.load(fh)
+            for t in _TABLES:
+                getattr(self, t).rollback_to(marker["versions"][t])
+            return 0
+        for t in _TABLES:
+            getattr(self, t).rollback_to(0)
+        return -1
+
+    # ------------------------------------------------------------------
+    # seeding (S1/S2 + D2)
+    # ------------------------------------------------------------------
+
+    def seed(self, seed_urls_df: DataFrame) -> int:
+        """Round -1: parse/canonicalize the seed list, drop unparsable
+        rows (item.go:76-80), dedupe (crawl.go:217-235), enqueue at hop 0.
+        enqueue_seq = seed-file line order (zipWithIndex is deterministic
+        for a stable input file — the batch analogue of append order)."""
+        rdd = seed_urls_df.select("url").rdd.map(lambda r: r.url).zipWithIndex()
+        raw = self.spark.createDataFrame(rdd, "url string, line long")
+        parsed = (
+            raw.withColumn("curl", U.canonicalize_udf(F.col("url")))
+            .filter(F.col("curl").isNotNull())
+            .withColumn("url_hash", U.fnv1a64_udf(F.col("curl")))
+            .withColumn("host", U.host_udf(F.col("curl")))
+            .filter(F.col("host") != "")
+        )
+        items = parsed.select(
+            F.sha1(F.concat_ws("|", F.lit("seed"), F.col("curl"))).alias("id"),
+            F.col("curl").alias("url"),
+            "url_hash",
+            "host",
+            F.lit(None).cast("string").alias("parent_url"),
+            F.lit(0).alias("hop"),
+            F.lit("seed").alias("type"),
+            F.lit(False).alias("bypass_seencheck"),
+            F.lit(0).alias("redirect"),
+            F.lit(0).alias("retry"),
+            F.col("line").alias("enqueue_seq"),
+            F.lit(0).alias("discovered_round"),
+            F.lit(0).alias("not_before_round"),
+        )
+        items = apply_admission(items, self.cfg)
+        items = dedup.in_batch_dedupe(items)
+        new = dedup.dedupe_against_seen(
+            items, self.seen.read(), use_bloom=self.cfg.bloom_prefilter
+        ).cache()
+        n = new.count()
+        self.frontier.append(new)
+        self.seen.append(
+            new.select("url_hash", "url", "type", F.lit(0).alias("round"))
+        )
+        new.unpersist()
+        self._write_marker("seeded.json", {"versions": self._versions(), "seeds": n})
+        return n
+
+    # ------------------------------------------------------------------
+    # the round
+    # ------------------------------------------------------------------
+
+    def pending_frontier(self) -> DataFrame:
+        """Live frontier = appended rows minus claimed attempts (the
+        equality-delete merge an Iceberg MOR read would do)."""
+        claims = self.claimed.read().select(F.col("id").alias("_ck"))
+        return self.frontier.read().join(
+            claims, _claim_key() == F.col("_ck"), "left_anti"
+        )
+
+    def run_round(self, round_no: int) -> RoundStats:
+        cfg = self.cfg
+        pending = self.pending_frontier()
+        eligible = schedulable(pending, round_no)
+        gated = apply_admission(eligible, cfg)
+        if cfg.robots and self.robots is not None:
+            gated = apply_robots_gate(gated, self.robots)
+        sched = politeness_schedule(gated, cfg).cache()
+        n_sched = sched.count()
+
+        if n_sched == 0:
+            stats = RoundStats(round_no, 0, 0, 0, 0)
+            self._commit_empty(round_no, stats)
+            sched.unpersist()
+            return stats
+
+        results = fetch(sched, self.pages).cache()
+        ok, redirects, failed_429, _dead = split_results(results)
+        fetched_rows = to_fetched_rows(ok, round_no)
+
+        ok_html = ok.filter(F.col("content_type") == "text/html")
+        cand = extract_candidates(ok_html, self.links, cfg, round_no)
+        cand = cand.unionByName(redirect_candidates(redirects, cfg, round_no))
+        cand = cand.cache()
+        n_discovered = cand.count()
+
+        in_batch = dedup.in_batch_dedupe(cand)
+        new = dedup.dedupe_against_seen(
+            in_batch, self.seen.read(), use_bloom=cfg.bloom_prefilter
+        ).cache()
+        n_new = new.count()
+
+        retries = backoff_retry_rows(failed_429, round_no, cfg)
+
+        # ---- per-host lineage/counters (one shuffle via tag+pivot) ----
+        kinds = ["scheduled", "fetched_ok", "fetched_err", "redirects",
+                 "retries", "discovered", "new_after_dedup"]
+        tagged = (
+            sched.select("host", F.lit("scheduled").alias("k"))
+            .unionByName(ok.select("host", F.lit("fetched_ok").alias("k")))
+            .unionByName(
+                results.filter(F.col("status") != 200).select(
+                    "host", F.lit("fetched_err").alias("k")
+                )
+            )
+            .unionByName(redirects.select("host", F.lit("redirects").alias("k")))
+            .unionByName(retries.select("host", F.lit("retries").alias("k")))
+            .unionByName(cand.select("host", F.lit("discovered").alias("k")))
+            .unionByName(new.select("host", F.lit("new_after_dedup").alias("k")))
+        )
+        metric_rows = (
+            tagged.groupBy("host").pivot("k", kinds).count().na.fill(0)
+            .select(
+                F.lit(round_no).cast("int").alias("round"),
+                "host",
+                *[F.col(k).cast("long").alias(k) for k in kinds],
+            )
+        )
+
+        # ---- round commits (atomic marker last) ----
+        n_ok = ok.count()
+        self.fetched.append(fetched_rows)
+        self.seen.append(
+            new.select(
+                "url_hash", "url", "type", F.lit(round_no + 1).alias("round")
+            )
+        )
+        self.frontier.append(new.unionByName(retries))
+        self.claimed.append(
+            sched.select(_claim_key().alias("id"), F.lit(round_no).alias("round"))
+        )
+        self.metrics.append(metric_rows)
+
+        # compaction (inside the round's commit scope: a crash before the
+        # marker rolls the rewrite back with everything else)
+        if cfg.compact_every and (round_no + 1) % cfg.compact_every == 0:
+            self.compact()
+
+        stats = RoundStats(round_no, n_sched, n_ok, n_discovered, n_new)
+        self._commit_round(round_no, stats)
+
+        sched.unpersist()
+        results.unpersist()
+        cand.unpersist()
+        new.unpersist()
+        return stats
+
+    def _commit_empty(self, round_no: int, stats: RoundStats) -> None:
+        self._commit_round(round_no, stats)
+
+    def compact(self) -> None:
+        """Fold claimed-deletes into the frontier (Iceberg RewriteDataFiles
+        analogue) so pending_frontier stays an O(live) scan as rounds
+        accumulate."""
+        live = self.pending_frontier().cache()
+        live.count()
+        self.frontier.rewrite(live)
+        self.claimed.truncate()
+        live.unpersist()
+
+    # ------------------------------------------------------------------
+    # the fixpoint loop (O10)
+    # ------------------------------------------------------------------
+
+    def run(self, seeds: DataFrame | None = None, max_rounds: int | None = None) -> list[RoundStats]:
+        start = self.recover()
+        if start < 0:
+            if seeds is None:
+                raise ValueError("fresh job needs a seed list")
+            self.seed(seeds)
+            start = 0
+        max_rounds = max_rounds or self.cfg.max_rounds
+        out: list[RoundStats] = []
+        r = start
+        while r < max_rounds:
+            if self.pending_frontier().limit(1).count() == 0:
+                break  # O10: queue empty -> finish (finish.go:12-24)
+            out.append(self.run_round(r))
+            r += 1
+        return out

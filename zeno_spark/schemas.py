@@ -1,0 +1,156 @@
+"""Explicit StructTypes for every table the engine touches.
+
+The reference declares all schemas in code (protobuf for queue items,
+``/root/reference/internal/pkg/queue/protobuf/v1/item.proto:6-17``; Go
+structs elsewhere) and never infers anything.  We keep that discipline:
+every read/write goes through one of these constants.
+
+Table <-> reference mapping:
+
+  FRONTIER  <-> queue.Item            (queue/queue.go:49-59)
+  SEEN      <-> seencheck LevelDB     (seencheck/seencheck.go:13-16,50-62)
+  FETCHED   <-> WARC response records (crawl/crawl.go:101-119) reshaped to
+                the image+caption row of BASELINE.json input_hint
+  PAGES     <-> "the web" (what HTTP GET would return) — synthetic corpus
+  LINKS     <-> extractor outputs     (outlinks.go:13-51, assets.go:182-457)
+  ROBOTS    <-> north-rule addition (absent in the reference; SURVEY §2.2 F10)
+  METRICS   <-> queue/crawl counters  (queue/stats.go:9-23, crawl/config.go:90-93)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# frontier — one row per queue.Item (queue/queue.go:49-59)
+# ---------------------------------------------------------------------------
+FRONTIER = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),          # Item.ID (item.go:21-23)
+        T.StructField("url", T.StringType(), False),         # Item.URL (canonical)
+        T.StructField("url_hash", T.LongType(), False),      # Item.Hash = FNV-1a64 (item.go:18-19)
+        T.StructField("host", T.StringType(), False),        # index key (enqueue.go:203)
+        T.StructField("parent_url", T.StringType(), True),   # Item.ParentURL
+        T.StructField("hop", T.IntegerType(), False),        # Item.Hop
+        T.StructField("type", T.StringType(), False),        # "seed" | "asset" | "redirect"
+        T.StructField("bypass_seencheck", T.BooleanType(), False),  # capture.go:322
+        T.StructField("redirect", T.IntegerType(), False),   # redirect-chain depth (capture.go:165)
+        T.StructField("retry", T.IntegerType(), False),      # 429 retry count (capture.go:56-117)
+        T.StructField("enqueue_seq", T.LongType(), False),   # deterministic FIFO tiebreak
+        T.StructField("discovered_round", T.IntegerType(), False),
+        T.StructField("not_before_round", T.IntegerType(), False),  # retry backoff
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# seen — the URL-seen set (seencheck/seencheck.go:50-62)
+# ---------------------------------------------------------------------------
+SEEN = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),   # kept for hash-collision exactness
+        T.StructField("type", T.StringType(), False),  # stored value in the reference
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# claimed — frontier rows consumed by a round (stand-in for Iceberg row
+# deletes; compacted periodically).  Not present in the reference — its
+# queue pops destructively (queue/dequeue.go:73-132).
+# ---------------------------------------------------------------------------
+CLAIMED = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# pages — the synthetic web corpus (image+caption pages per BASELINE.json
+# input_hint).  `status`/`redirect_to` exercise capture.go:84-178.
+# ---------------------------------------------------------------------------
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("image_id", T.StringType(), True),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),        # png | jpeg(stub codec)
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("content_type", T.StringType(), False),  # routing, capture.go:459-501
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("redirect_to", T.StringType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# links — synthetic link graph = what the HTML/XML/JSON extractors would
+# return (outlinks.go:13-51, assets.go:182-457); dst_url may be relative
+# and may carry fragments (exercises utils/url.go:78-94).
+# ---------------------------------------------------------------------------
+LINKS = T.StructType(
+    [
+        T.StructField("src_url", T.StringType(), False),
+        T.StructField("dst_url", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # outlink | asset
+        T.StructField("tag", T.StringType(), False),   # a | img | script | ...
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# fetched — the WARC-replacement sink (input_hint row shape)
+# ---------------------------------------------------------------------------
+FETCHED = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("image_id", T.StringType(), True),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("type", T.StringType(), False),   # seed | asset | redirect
+        T.StructField("hop", T.IntegerType(), False),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# robots — north-rule addition (reference has none; grep robots -> 0 hits)
+# ---------------------------------------------------------------------------
+ROBOTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
+        T.StructField("crawl_delay", T.DoubleType(), True),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# metrics — per-round per-host lineage + counters (queue/stats.go:9-23,
+# crawl/config.go:90-93 reshaped to one append per round)
+# ---------------------------------------------------------------------------
+METRICS = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("scheduled", T.LongType(), False),
+        T.StructField("fetched_ok", T.LongType(), False),
+        T.StructField("fetched_err", T.LongType(), False),
+        T.StructField("redirects", T.LongType(), False),
+        T.StructField("retries", T.LongType(), False),
+        T.StructField("discovered", T.LongType(), False),
+        T.StructField("new_after_dedup", T.LongType(), False),
+    ]
+)
+
+# seeds — URL-per-line seed list (queue/item.go:53-102)
+SEEDS = T.StructType([T.StructField("url", T.StringType(), False)])
