@@ -1,0 +1,86 @@
+"""Seen-check dedup: exactness of the anti-join (D1), deterministic
+in-batch dedupe (D6), and the bloom prefilter's prefilter-only
+discipline (D9: identical results with the filter on or off)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeno_spark import schemas
+from zeno_spark.functions.urls import fnv1a64
+from zeno_spark.operators import dedup
+
+
+def _cand(spark, urls, **kw):
+    rows = []
+    for i, u in enumerate(urls):
+        base = dict(
+            id=f"c{i}", url=u, url_hash=fnv1a64(u), host="h.com",
+            parent_url=kw.get("parent_url"), hop=kw.get("hop", 1),
+            type=kw.get("type", "seed"), bypass_seencheck=False, redirect=0,
+            retry=0, enqueue_seq=kw.get("seq", i), discovered_round=1,
+            not_before_round=1,
+        )
+        rows.append(tuple(base[f.name] for f in schemas.FRONTIER.fields))
+    return spark.createDataFrame(rows, schemas.FRONTIER)
+
+
+def _seen(spark, urls):
+    return spark.createDataFrame(
+        [(fnv1a64(u), u, "seed", 0) for u in urls], schemas.SEEN
+    )
+
+
+def test_anti_join_exact(spark):
+    cand = _cand(spark, [f"http://h.com/{i}" for i in range(20)])
+    seen = _seen(spark, [f"http://h.com/{i}" for i in range(0, 20, 2)])
+    new = dedup.anti_join_seen(cand, seen)
+    assert {r.url for r in new.collect()} == {
+        f"http://h.com/{i}" for i in range(1, 20, 2)
+    }
+
+
+def test_in_batch_dedupe_deterministic_winner(spark):
+    # same url, same seq (seq is a function of (round, url)), different
+    # hop/type/parent -> min (seq, hop, type, parent) wins
+    rows = [
+        ("a", "http://h.com/x", fnv1a64("http://h.com/x"), "h.com", "http://p2.com",
+         3, "seed", False, 0, 0, 7, 1, 1),
+        ("b", "http://h.com/x", fnv1a64("http://h.com/x"), "h.com", "http://p1.com",
+         2, "asset", False, 0, 0, 7, 1, 1),
+        ("c", "http://h.com/y", fnv1a64("http://h.com/y"), "h.com", None,
+         1, "seed", False, 0, 0, 8, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, schemas.FRONTIER)
+    out = {r.url: r for r in dedup.in_batch_dedupe(df).collect()}
+    assert len(out) == 2
+    assert out["http://h.com/x"].hop == 2  # min hop wins the tie
+    assert out["http://h.com/x"].type == "asset"
+
+
+def test_bloom_prefilter_identity(spark):
+    """The north-rule bloom tier must never change results (SURVEY §7)."""
+    cand = _cand(spark, [f"http://h{i % 7}.com/p/{i}" for i in range(500)])
+    seen = _seen(spark, [f"http://h{i % 7}.com/p/{i}" for i in range(0, 500, 3)])
+    plain = dedup.dedupe_against_seen(cand, seen, use_bloom=False)
+    bloomed = dedup.dedupe_against_seen(cand, seen, use_bloom=True, n_buckets=8)
+    assert {r.url for r in plain.collect()} == {r.url for r in bloomed.collect()}
+    expected = {f"http://h{i % 7}.com/p/{i}" for i in range(500) if i % 3 != 0}
+    assert {r.url for r in bloomed.collect()} == expected
+
+
+def test_bloom_overflow_tier_is_exact(spark):
+    """A bucket past the size cap degrades to always-maybe (the cuckoo
+    overflow slot) — results still exact via the anti-join."""
+    cand = _cand(spark, [f"http://h.com/{i}" for i in range(100)])
+    seen = _seen(spark, [f"http://h.com/{i}" for i in range(50)])
+    blooms = dedup.build_bloom_index(seen, n_buckets=2, max_bits=64, min_bits=64)
+    assert all(r.overflow for r in blooms.collect())
+    out = dedup.dedupe_against_seen(cand, seen, use_bloom=True, n_buckets=2)
+    # max_bits/min_bits only affect build_bloom_index defaults here; the
+    # full path uses defaults — assert plain correctness instead
+    tagged = dedup.bloom_prefilter(cand, blooms, n_buckets=2)
+    maybe = tagged.filter(F.col("maybe_seen"))
+    assert maybe.count() == 100  # overflow -> everything routed to exact join
+    exact = dedup.anti_join_seen(maybe.drop("maybe_seen"), seen)
+    assert exact.count() == 50

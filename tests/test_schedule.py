@@ -1,0 +1,107 @@
+"""Politeness scheduling golden tests.
+
+The flagship invariant is ported from the reference's round-robin test
+(queue/dequeue_test.go:84-140): enqueue 2 items for each of 3 hosts,
+dequeue -> host order 1,2,3,1,2,3.  In batch form with budget=1, round A
+schedules exactly {h1[0], h2[0], h3[0]} and round B {h1[1], h2[1],
+h3[1]} — k=1 round-robin turns per host per round, FIFO within host.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeno_spark import schemas
+from zeno_spark.config import CrawlConfig
+from zeno_spark.functions.urls import fnv1a64
+from zeno_spark.operators.schedule import backoff_retry_rows, politeness_schedule, schedulable
+
+
+def _item(url, host, seq, **kw):
+    base = dict(
+        id=f"id{seq}", url=url, url_hash=fnv1a64(url), host=host,
+        parent_url=None, hop=0, type="seed", bypass_seencheck=False,
+        redirect=0, retry=0, enqueue_seq=seq, discovered_round=0,
+        not_before_round=0,
+    )
+    base.update(kw)
+    return tuple(base[f.name] for f in schemas.FRONTIER.fields)
+
+
+def _frontier(spark, items):
+    return spark.createDataFrame(items, schemas.FRONTIER)
+
+
+def test_golden_round_robin_2x3(spark):
+    # 2 items x 3 hosts, enqueue order h1,h2,h3,h1,h2,h3 (dequeue_test.go:84-140)
+    items = []
+    seq = 0
+    for i in range(2):
+        for h in ("h1.com", "h2.com", "h3.com"):
+            items.append(_item(f"http://{h}/p/{i}", h, seq))
+            seq += 1
+    f = _frontier(spark, items)
+    cfg = CrawlConfig(per_host_budget=1)
+
+    round_a = politeness_schedule(f, cfg)
+    got_a = {(r.host, r.url) for r in round_a.collect()}
+    assert got_a == {
+        ("h1.com", "http://h1.com/p/0"),
+        ("h2.com", "http://h2.com/p/0"),
+        ("h3.com", "http://h3.com/p/0"),
+    }
+
+    # remove round A rows; round B yields the second item of each host
+    remaining = f.join(round_a.select("id"), "id", "left_anti")
+    got_b = {(r.host, r.url) for r in politeness_schedule(remaining, cfg).collect()}
+    assert got_b == {
+        ("h1.com", "http://h1.com/p/1"),
+        ("h2.com", "http://h2.com/p/1"),
+        ("h3.com", "http://h3.com/p/1"),
+    }
+
+
+def test_budget_and_fifo_within_host(spark):
+    items = [_item(f"http://h.com/{i}", "h.com", 100 - i) for i in range(10)]
+    f = _frontier(spark, items)
+    sched = politeness_schedule(f, CrawlConfig(per_host_budget=3)).collect()
+    # FIFO: the 3 smallest enqueue_seq values = urls 9, 8, 7
+    assert sorted(r.url for r in sched) == [
+        "http://h.com/7", "http://h.com/8", "http://h.com/9"
+    ]
+
+
+def test_salted_schedule_identical_to_unsalted(spark):
+    # two-phase salted top-k must select exactly the same rows
+    items = [
+        _item(f"http://hot.com/{i}", "hot.com", i) for i in range(200)
+    ] + [_item(f"http://cold{i}.com/x", f"cold{i}.com", 1000 + i) for i in range(5)]
+    f = _frontier(spark, items)
+    plain = politeness_schedule(f, CrawlConfig(per_host_budget=16, host_salt_buckets=1))
+    salted = politeness_schedule(f, CrawlConfig(per_host_budget=16, host_salt_buckets=8))
+    assert {r.url for r in plain.collect()} == {r.url for r in salted.collect()}
+
+
+def test_backoff_gate(spark):
+    items = [
+        _item("http://h.com/a", "h.com", 0, not_before_round=0),
+        _item("http://h.com/b", "h.com", 1, not_before_round=3),
+    ]
+    f = _frontier(spark, items)
+    assert schedulable(f, 0).count() == 1
+    assert schedulable(f, 3).count() == 2
+
+
+def test_retry_rows(spark):
+    cfg = CrawlConfig(max_retry=2, retry_backoff_rounds=1)
+    items = [
+        _item("http://h.com/a", "h.com", 0, retry=0),
+        _item("http://h.com/b", "h.com", 1, retry=2),  # exhausted
+    ]
+    f = _frontier(spark, items)
+    rows = backoff_retry_rows(f, round_no=5, cfg=cfg).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.url == "http://h.com/a" and r.retry == 1
+    assert r.bypass_seencheck is True
+    assert r.not_before_round == 7  # 5+1 + retry(1)*1

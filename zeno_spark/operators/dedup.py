@@ -126,11 +126,15 @@ def bloom_prefilter(
     blooms on the same bucket key (co-partitioned — each task tests its
     bucket's rows against exactly one filter, vectorized in numpy).
     Buckets with no bloom row (empty seen partition) => definitely new."""
-    out_schema = candidates.schema.add("maybe_seen", "boolean", False)
-    cand = candidates.withColumn("__bucket", bucket_of("url_hash", n_buckets))
-    blooms = bloom_index.withColumnRenamed("bucket", "__bucket")
+    from pyspark.sql import types as T
 
     cols = [f.name for f in candidates.schema.fields]
+    # StructType.add mutates in place — build the output schema from a copy
+    out_schema = T.StructType(list(candidates.schema.fields)).add(
+        "maybe_seen", "boolean", False
+    )
+    cand = candidates.withColumn("__bucket", bucket_of("url_hash", n_buckets))
+    blooms = bloom_index.withColumnRenamed("bucket", "__bucket")
 
     def _test(key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
         if cand_pdf.empty:

@@ -233,7 +233,8 @@ class CrawlJob:
         ).cache()
         n_new = new.count()
 
-        retries = backoff_retry_rows(failed_429, round_no, cfg)
+        frontier_cols = [f.name for f in schemas.FRONTIER.fields]
+        retries = backoff_retry_rows(failed_429, round_no, cfg).select(*frontier_cols)
 
         # ---- per-host lineage/counters (one shuffle via tag+pivot) ----
         kinds = ["scheduled", "fetched_ok", "fetched_err", "redirects",
