@@ -1,0 +1,180 @@
+"""Training-data pipeline tier (zeno_spark/datapipe): correctness
+invariants that the driver's SQL-oracle gate can't express —
+prefilter-completeness guarantees, ANN recall, binary-payload plumbing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from zeno_spark.datapipe import dedup as dd
+from zeno_spark.datapipe import multimodal as mm
+from zeno_spark.datapipe import similarity as sim
+from zeno_spark.datapipe import text as tx
+
+DOCS = [
+    # near-duplicate cluster (high jaccard / low hamming)
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "the quick brown fox leaps over the lazy dog"),
+    # exact duplicates
+    (3, "spark shuffles keys to executors"),
+    (4, "spark shuffles keys to executors"),
+    # unrelated
+    (5, "completely different content about image captions and crawling"),
+    (6, "zz yy xx ww vv uu tt ss"),
+    (7, "one two"),  # shorter than the shingle width
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup_groups_identical_texts(docs):
+    out = {r.keep_doc_id: r.n_copies for r in dd.exact_dedup(docs).collect()}
+    assert out[3] == 2           # 3 and 4 collapse, min id kept
+    assert 4 not in out
+    assert out[0] == 1
+
+
+def test_jaccard_pairs_find_near_dups(docs):
+    pairs = {
+        (r.doc_a, r.doc_b) for r in dd.jaccard_pairs(docs, t_num=7, t_den=10).collect()
+    }
+    assert (3, 4) in pairs        # identical => jaccard 1
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_minhash_lsh_subset_of_exact_and_finds_dups(docs):
+    exact = {
+        (r.doc_a, r.doc_b) for r in dd.jaccard_pairs(docs, t_num=7, t_den=10).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dd.minhash_lsh_pairs(docs, t_num=7, t_den=10).collect()
+    }
+    assert lsh <= exact           # verify step removes every false positive
+    assert (3, 4) in lsh          # identical docs always share all bands
+
+
+def test_simhash_pigeonhole_equals_brute_force(docs):
+    """The block-join pair search must find EXACTLY the pairs a cross
+    join would (pigeonhole completeness at hamming <= blocks-1)."""
+    sh = dd.simhash(docs)
+    a = sh.selectExpr("doc_id as doc_a", "simhash as ha")
+    b = sh.selectExpr("doc_id as doc_b", "simhash as hb")
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("d", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("d") <= dd.SIMHASH_MAX_HAMMING)
+        .collect()
+    }
+    blocked = {(r.doc_a, r.doc_b) for r in dd.simhash_pairs(docs).collect()}
+    assert blocked == brute
+    assert (3, 4) in blocked      # identical text -> identical simhash
+
+
+def test_fingerprint_short_doc_falls_back_to_whole_text(docs):
+    fp = {r.doc_id: r.fingerprint for r in tx.fingerprint(docs).collect()}
+    import hashlib
+
+    assert fp[7] == hashlib.md5(b"one two").hexdigest()
+    assert fp[3] == fp[4]         # identical docs, identical fingerprints
+    assert fp[0] != fp[5]
+
+
+def test_langid_marker_scoring(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat is on the mat and happy"),
+         (1, "der hund und die katze und das haus"),
+         (2, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in tx.langid(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "und"        # no markers at all
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(8, sim.DIM)).astype(np.float32)
+    rows = []
+    for i in range(40):
+        v = base[i % 8] + rng.normal(scale=0.05, size=sim.DIM).astype(np.float32)
+        rows.append((i, [float(x) for x in v], i % 8))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def test_cosine_topk_matches_numpy(embeddings):
+    got = sim.cosine_topk(embeddings, n_queries=4, k=3).collect()
+    rows = embeddings.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    for q in range(4):
+        order = [
+            int(i) for i in np.lexsort((np.arange(len(mat)), -sims[q])) if i != q
+        ][:3]
+        mine = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == q]
+        assert mine == order
+
+
+def test_lsh_ann_recall_against_brute_force(embeddings):
+    k = 3
+    brute = sim.cosine_topk(embeddings, n_queries=8, k=k).collect()
+    approx = sim.lsh_ann_topk(embeddings, n_queries=8, k=k).collect()
+    btop = {(r.query_id, r.neighbor_id) for r in brute}
+    atop = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(btop & atop) / len(btop)
+    # clustered vectors land in shared sign-buckets; multiprobe hamming-1
+    # must recover well over half of the true top-k
+    assert recall >= 0.5, f"LSH ANN recall too low: {recall}"
+
+
+def test_image_features_decode_roundtrip(spark):
+    from zeno_spark.functions.images import encode_image, generate_pixels
+
+    rows = []
+    for i, fmt in [(0, "png"), (1, "jpeg")]:
+        px = generate_pixels(seed=100 + i, w=24, h=16)
+        rows.append((f"img-{i}", bytearray(encode_image(px, fmt)), fmt))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    feats = {r.image_id: r for r in mm.image_features(df).collect()}
+    assert feats["img-0"].w == 24 and feats["img-0"].h == 16
+    assert 0.0 <= feats["img-0"].brightness <= 255.0
+    assert feats["img-0"].phash is not None
+
+
+def test_resize_images_shapes(spark):
+    from zeno_spark.functions.images import decode_image, encode_image, generate_pixels
+
+    px = generate_pixels(seed=5, w=32, h=32)
+    df = spark.createDataFrame(
+        [("a", bytearray(encode_image(px, "png")), "png")],
+        "image_id string, bytes binary, fmt string",
+    )
+    out = mm.resize_images(df, 8, 8).collect()[0]
+    assert (out.w, out.h) == (8, 8)
+    decoded = decode_image(bytes(out.bytes), "png")
+    assert decoded.shape == (8, 8, 3)
+
+
+def test_audio_video_stubs_are_gated(spark):
+    df = spark.createDataFrame(
+        [("m", bytearray(b"\x00\x01"), "wav")],
+        "media_id string, bytes binary, fmt string",
+    )
+    with pytest.raises(Exception):  # NotImplementedError inside the executor
+        mm.audio_features(df).collect()
+    with pytest.raises(Exception):
+        mm.sample_video_frames(df).collect()

@@ -1,0 +1,372 @@
+"""Document-level deduplication: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Spark-first design, all JVM-side (no Python UDFs anywhere):
+
+  * exact         — content-hash groupBy: the shuffle key is sha256(text)
+                    (8+32 bytes), never the document body;
+  * jaccard       — inverted-index self-join (posting lists), integer
+                    threshold arithmetic (t_num*union <= t_den*inter) so
+                    no float compare;
+  * minhash+LSH   — K=16 permutations over a 61-bit token hash reduced
+                    mod P, banded 4x4; candidate pairs = band-bucket
+                    join; every candidate is verified with the exact
+                    Jaccard join (LSH is a *prefilter*, like the crawl
+                    tier's bloom: it can only shrink work, never change
+                    the verified result set's correctness);
+  * simhash       — 32-bit sign-of-sums signature; near-dup pairs found
+                    with the pigeonhole block join (4 blocks of 8 bits:
+                    hamming<=3 guarantees at least one equal block), so
+                    the pair search is an equi-join, NOT a cross join —
+                    exact and scalable.
+
+Scale notes (100 TB):
+  * posting-list joins key on the token md5 (8 bytes); a df-cap (drop
+    tokens appearing in more than DF_CAP docs) bounds the worst posting
+    list, exactly like stopword pruning in web-scale near-dup systems —
+    the cap is part of the operator's declared semantics and the oracle
+    applies the same cap;
+  * LSH bands and simhash blocks turn O(n^2) pair generation into
+    equi-joins on short keys; AQE skew-join handles hot buckets.
+
+Every operator ships a DuckDB oracle built from the SAME constants.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants (Spark exprs AND oracle SQL read these)
+# ---------------------------------------------------------------------------
+
+P = 1_000_000_007  # token-hash modulus; keeps a_i*h + b_i inside int64
+MINHASH_K = 16     # permutations
+LSH_BANDS = 4      # 4 bands x 4 rows
+LSH_ROWS = MINHASH_K // LSH_BANDS
+SIMHASH_BITS = 32
+SIMHASH_BLOCKS = 4            # pigeonhole blocks (8 bits each)
+SIMHASH_MAX_HAMMING = 3       # <= blocks-1 so pigeonhole is complete
+DF_CAP = 10_000               # posting-list document-frequency cap
+
+_rng = random.Random(42)
+PERM_A = [_rng.randrange(1, P) for _ in range(MINHASH_K)]
+PERM_B = [_rng.randrange(0, P) for _ in range(MINHASH_K)]
+
+# 61-bit token hash from md5 (15 hex digits), reduced mod P.
+# Spark: conv() hex->decimal string -> bigint.  DuckDB: 0x-cast.
+_TOKHASH_SPARK = "cast(conv(substring(md5({t}), 1, 15), 16, 10) as bigint) % {p}"
+_TOKHASH_SQL = "(('0x' || substr(md5({t}), 1, 15))::BIGINT % {p})"
+
+
+def tokhash_spark(t: str = "t") -> str:
+    return _TOKHASH_SPARK.format(t=t, p=P)
+
+
+def tokhash_sql(t: str = "t") -> str:
+    return _TOKHASH_SQL.format(t=t, p=P)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — hash groupBy
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical texts by content hash; keep the smallest doc_id as
+    the canonical representative.  Output: content_hash, keep_doc_id,
+    n_copies.  (D8's payload dedupe from the crawl tier, applied to
+    text.)"""
+    return (
+        docs.select(F.sha2(F.col(text_col), 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM {table}
+    GROUP BY sha256(text)
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram (word) Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+def _posting(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, token) over DISTINCT tokens per doc, df-capped."""
+    posting = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("token"),
+    )
+    df_ok = (
+        posting.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= DF_CAP)
+        .select("token")
+    )
+    return posting.join(df_ok, "token", "inner")
+
+
+def jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", t_num: int = 7, t_den: int = 10
+) -> DataFrame:
+    """Pairs (doc_a < doc_b) whose distinct-word Jaccard >= t_num/t_den.
+    Integer cross-multiplied threshold — no float compare.
+    Output: doc_a, doc_b, n_inter, n_union."""
+    posting = _posting(docs, text_col)
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_set"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_set").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_set").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .filter(F.lit(t_den) * F.col("n_inter") >= F.lit(t_num) * F.col("n_union"))
+        .select("doc_a", "doc_b", "n_inter", "n_union")
+    )
+
+
+def _posting_sql(table: str) -> str:
+    return f"""
+      raw AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM {table}),
+      df_ok AS (
+        SELECT token FROM raw GROUP BY token HAVING count(*) <= {DF_CAP}),
+      posting AS (
+        SELECT raw.doc_id, raw.token FROM raw JOIN df_ok USING (token)),
+      sizes AS (
+        SELECT doc_id, count(*) AS n_set FROM posting GROUP BY doc_id)
+    """
+
+
+def jaccard_pairs_sql(table: str = "documents", t_num: int = 7, t_den: int = 10) -> str:
+    return f"""
+    WITH {_posting_sql(table)},
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM posting a JOIN posting b
+        ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, n_inter,
+           sa.n_set + sb.n_set - n_inter AS n_union
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE {t_den} * n_inter >= {t_num} * (sa.n_set + sb.n_set - n_inter)
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def _thash_array_spark(text_col: str) -> str:
+    return (
+        f"transform(array_distinct(split({text_col}, ' ')), "
+        f"t -> {tokhash_spark('t')})"
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """K minhash values per doc: sig_i = min over distinct tokens of
+    (a_i * h(token) + b_i) mod P.  Output: doc_id, s0..s{K-1}."""
+    thash = _thash_array_spark(text_col)
+    sig_cols = [
+        F.expr(
+            f"array_min(transform({thash}, h -> ({PERM_A[i]}L * h + {PERM_B[i]}L) % {P}))"
+        ).alias(f"s{i}")
+        for i in range(MINHASH_K)
+    ]
+    return docs.select("doc_id", *sig_cols)
+
+
+def minhash_signatures_sql(table: str = "documents") -> str:
+    thash = (
+        "list_transform(list_distinct(string_split(text, ' ')), "
+        f"t -> {tokhash_sql('t')})"
+    )
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform({thash}, h -> ({PERM_A[i]} * h + {PERM_B[i]}) % {P})) AS s{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"SELECT doc_id,\n           {sig_cols}\n    FROM {table}"
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", t_num: int = 7, t_den: int = 10
+) -> DataFrame:
+    """LSH candidate pairs (band-bucket equi-join over banded signatures)
+    VERIFIED against exact Jaccard at t_num/t_den.  The band join only
+    prunes the pair space; the verify join decides membership, so false
+    positives are removed and results are a subset of jaccard_pairs
+    (equal when LSH recall is 1 at the threshold).
+    Output: doc_a, doc_b, n_inter, n_union."""
+    sigs = minhash_signatures(docs, text_col)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|", *[F.col(f"s{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    exact = jaccard_pairs(docs, text_col, t_num, t_den)
+    return cand.join(exact, ["doc_a", "doc_b"], "inner")
+
+
+def minhash_lsh_pairs_sql(
+    table: str = "documents", t_num: int = 7, t_den: int = 10
+) -> str:
+    band_keys = ", ".join(
+        "(" + " || '|' || ".join(
+            f"s{b * LSH_ROWS + r}::VARCHAR" for r in range(LSH_ROWS)
+        ) + ")"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH sigs AS ({minhash_signatures_sql(table)}),
+    banded AS (
+      SELECT doc_id, unnest(generate_series(0, {LSH_BANDS - 1})) AS band,
+             unnest([{band_keys}]) AS key
+      FROM sigs),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    exact AS ({jaccard_pairs_sql(table, t_num, t_den)})
+    SELECT exact.* FROM cand JOIN exact USING (doc_a, doc_b)
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct-token hashes: bit j is set when the
+    sum over tokens of (2*bit_j(h) - 1) is positive.  One groupBy with
+    SIMHASH_BITS conditional sums — a single shuffle on doc_id carrying
+    8-byte token hashes.  Output: doc_id, simhash (long)."""
+    posting = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(_thash_array_spark(text_col))
+        ).alias("h"),
+    ).distinct()
+    sums = posting.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        acc = acc + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sums.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_sql(table: str = "documents") -> str:
+    thash = (
+        "list_transform(list_distinct(string_split(text, ' ')), "
+        f"t -> {tokhash_sql('t')})"
+    )
+    sums = ",\n             ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(SIMHASH_BITS)
+    )
+    acc = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH posting AS (
+      SELECT DISTINCT doc_id, unnest({thash}) AS h FROM {table}),
+    sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM posting GROUP BY doc_id)
+    SELECT doc_id, ({acc})::BIGINT AS simhash FROM sums
+    """
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with hamming(simhash_a, simhash_b) <= 3, found via
+    the pigeonhole block join: split 32 bits into 4 blocks of 8; any pair
+    within hamming 3 must agree on >= 1 whole block, so an equi-join per
+    block + union + exact hamming verify finds EVERY qualifying pair with
+    no cross join.  Output: doc_a, doc_b, hamming."""
+    sh = simhash(docs, text_col)
+    block_size = SIMHASH_BITS // SIMHASH_BLOCKS
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(simhash, {b * block_size}) & {(1 << block_size) - 1}")
+                    for b in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("block", "bkey"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+
+
+def simhash_pairs_sql(table: str = "documents") -> str:
+    # oracle uses the straightforward quadratic form — same result set,
+    # different physical plan (that's the point of the check)
+    return f"""
+    WITH sh AS ({simhash_sql(table)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """

@@ -1,0 +1,335 @@
+"""Driver-contract queries: every SQL-expressible operator from
+SURVEY.md §2, exercised over the driver's testdata tables (TPC-H-ish
+star schema + events + documents + embeddings), each with a DuckDB
+oracle.
+
+The crawl engine's own tables (frontier/seen/fetched) are job-local, so
+the crawl *operator shapes* are expressed here over the driver's tables:
+
+  events.user_id  <->  frontier.host   (the politeness partition key)
+  events.ts       <->  enqueue_seq     (FIFO order within the key)
+  event rows      <->  frontier items
+
+That keeps the correctness gate on the exact relational shapes the crawl
+plan runs (window top-k per key, anti-join dedup, keep-first dedupe,
+per-key counters, rolling rates) while the end-to-end crawl semantics
+are covered by tests/test_crawl.py's oracle equivalence.
+
+Float discipline: outputs are integers/strings wherever possible;
+unavoidable doubles are produced by the SAME expression tree in both
+engines (see datapipe modules) so the value-hash compare is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SCHEDULE_BUDGET = 3   # per-key budget (O2-O4 analogue)
+TOPK_USERS = 10
+
+EXCLUDED_USERS = (13, 42, 77)  # F1 analogue constants
+ADMIT_TYPES = ("click", "view")
+ADMIT_MIN_VALUE = 5.0
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# crawl operator shapes over `events`
+# ---------------------------------------------------------------------------
+
+def q_schedule_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2+O3+O4 — per-key FIFO top-budget window: the politeness schedule
+    (schedule.py:politeness_schedule) over events keyed by user."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("sched_rank", F.row_number().over(w))
+        .filter(F.col("sched_rank") <= SCHEDULE_BUDGET)
+        .select("user_id", "event_id", "sched_rank")
+    )
+
+
+def q_schedule_window_sql() -> str:
+    return f"""
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS sched_rank
+    FROM events
+    QUALIFY sched_rank <= {SCHEDULE_BUDGET}
+    """
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — the seen-check anti-join shape (dedup.py:anti_join_seen):
+    candidate keys (customers) LEFT ANTI JOIN the seen-set (customers
+    with an urgent order)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    seen = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return cust.join(seen, "c_custkey", "left_anti")
+
+
+def q_seen_antijoin_sql() -> str:
+    return """
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """
+
+
+def q_inbatch_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — keep-first in-batch dedupe (dedup.py:in_batch_dedupe): first
+    event per (user, type) by (ts, event_id)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+def q_inbatch_first_sql() -> str:
+    return """
+    SELECT user_id, event_type, event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """
+
+
+def q_admission_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F5 — native admission predicates (admission.py): type isin +
+    value gate + excluded-key anti-filter + substring include."""
+    events = _t(spark, sf_dir, "events")
+    return events.filter(
+        F.col("event_type").isin(*ADMIT_TYPES)
+        & (F.col("value") >= ADMIT_MIN_VALUE)
+        & ~F.col("user_id").isin(*EXCLUDED_USERS)
+        & F.col("props").contains('"k"')
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+def q_admission_filter_sql() -> str:
+    types = ", ".join(f"'{t}'" for t in ADMIT_TYPES)
+    excl = ", ".join(str(u) for u in EXCLUDED_USERS)
+    return f"""
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_type IN ({types})
+      AND value >= {ADMIT_MIN_VALUE}
+      AND user_id NOT IN ({excl})
+      AND props LIKE '%"k"%'
+    """
+
+
+def q_host_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-key counters, conditional aggregation (the metrics
+    pivot in plans/crawl.py)."""
+    events = _t(spark, sf_dir, "events")
+    agg = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_total"), *agg
+    )
+
+
+def q_host_counts_sql() -> str:
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
+        for t in ("click", "view", "purchase", "signup", "error")
+    )
+    return f"""
+    SELECT user_id, count(*) AS n_total,
+           {sums}
+    FROM events GROUP BY user_id
+    """
+
+
+def q_top_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 top-k — hottest keys (the skew diagnostic feeding the
+    salting decision)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(TOPK_USERS)
+    )
+
+
+def q_top_hosts_sql() -> str:
+    return f"""
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT {TOPK_USERS}
+    """
+
+
+def q_rolling_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — per-round rates with a trailing window (queue/stats.go:49-67
+    reshaped to daily event rates + 7-frame rolling mean)."""
+    events = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.avg("n").over(w).alias("avg_7d"),
+    )
+
+
+def q_rolling_rate_sql() -> str:
+    return """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('day', ts))
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           avg(n) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS avg_7d
+    FROM daily
+    """
+
+
+# ---------------------------------------------------------------------------
+# analytics over the star schema (general query capability + bench heads)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy aggregate with decimal-exact money
+    math (doubles cast to decimal before summing so both engines sum
+    exactly)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(18,2)"
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sum_base"),
+            F.sum(
+                F.col("l_extendedprice").cast(dec)
+                * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+            ).cast("double").alias("sum_disc"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_pricing_summary_sql() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+           (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+           (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_base,
+           (sum(l_extendedprice::DECIMAL(18,2)
+                * (1::DECIMAL(3,2) - l_discount::DECIMAL(3,2))))::DOUBLE AS sum_disc,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + aggregate + top-k, decimal-exact."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(18,2)"
+    rev = (
+        F.col("l_extendedprice").cast(dec)
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(TOPK_USERS)
+        .select("o_orderkey", "revenue")
+    )
+
+
+def q_revenue_topk_sql() -> str:
+    return f"""
+    SELECT o_orderkey,
+           (sum(l_extendedprice::DECIMAL(18,2)
+                * (1::DECIMAL(3,2) - l_discount::DECIMAL(3,2))))::DOUBLE AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT {TOPK_USERS}
+    """
+
+
+def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join chain over the dimension tables: suppliers and
+    customers per region (nation/region are tiny -> broadcast both)."""
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dim = F.broadcast(
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            "n_nationkey", "r_name"
+        )
+    )
+    s = (
+        supp.join(dim, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    c = (
+        cust.join(dim, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    return s.join(c, "r_name", "full_outer").na.fill(0)
+
+
+def q_region_rollup_sql() -> str:
+    return """
+    WITH dim AS (
+      SELECT n_nationkey, r_name FROM nation
+      JOIN region ON n_regionkey = r_regionkey),
+    s AS (
+      SELECT r_name, count(*) AS n_suppliers FROM supplier
+      JOIN dim ON s_nationkey = n_nationkey GROUP BY r_name),
+    c AS (
+      SELECT r_name, count(*) AS n_customers FROM customer
+      JOIN dim ON c_nationkey = n_nationkey GROUP BY r_name)
+    SELECT r_name,
+           coalesce(n_suppliers, 0) AS n_suppliers,
+           coalesce(n_customers, 0) AS n_customers
+    FROM s FULL OUTER JOIN c USING (r_name)
+    """
