@@ -1,0 +1,90 @@
+"""spark-submit entry point for the crawl job (north rule: `spark-submit
+--py-files crawler.zip run_crawl.py`).
+
+Local sandbox (synthetic corpus):
+    python run_crawl.py --synthetic-pages 10000 --rounds 4 \
+        --warehouse /tmp/crawl_wh
+
+Cluster shape (the only differences are spark-submit flags — no code
+changes; see zeno_spark/session.py):
+    zip -r crawler.zip zeno_spark
+    spark-submit --master <cluster> --py-files crawler.zip run_crawl.py \
+        --seeds s3://bucket/seeds.txt --warehouse s3://bucket/crawl_wh \
+        --rounds 8
+
+Resume: re-running with the same --warehouse resumes from the last
+committed round marker (plans/crawl.py recover()); a crashed round is
+rolled back and re-run idempotently.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="zeno_spark crawl driver")
+    ap.add_argument("--seeds", help="URL-per-line seed file (S1)")
+    ap.add_argument("--warehouse", required=True, help="table warehouse dir")
+    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--per-host-budget", type=int, default=16)
+    ap.add_argument("--max-hops", type=int, default=3)
+    ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument("--bloom", action="store_true", default=True)
+    ap.add_argument("--no-bloom", dest="bloom", action="store_false")
+    ap.add_argument("--robots", action="store_true")
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local-mode cores (ignored under spark-submit --master)")
+    ap.add_argument("--synthetic-pages", type=int, default=0,
+                    help="build the deterministic synthetic corpus of N pages "
+                         "instead of reading --pages/--links tables")
+    ap.add_argument("--pages", help="parquet path of the pages table")
+    ap.add_argument("--links", help="parquet path of the links table")
+    args = ap.parse_args()
+
+    from zeno_spark.config import CrawlConfig
+    from zeno_spark.plans.crawl import CrawlJob
+    from zeno_spark.session import get_spark
+
+    spark = get_spark("zeno_crawl", cores=args.cores, aqe=False)
+
+    if args.synthetic_pages:
+        from zeno_spark.fixtures import build_corpus
+
+        corpus = build_corpus(
+            spark, n_pages=args.synthetic_pages,
+            n_hosts=max(10, args.synthetic_pages // 200),
+        )
+        pages, links, seeds = corpus["pages"], corpus["links"], corpus["seeds"]
+        robots = corpus["robots"]
+    else:
+        if not (args.pages and args.links):
+            ap.error("--pages/--links required without --synthetic-pages")
+        pages = spark.read.parquet(args.pages)
+        links = spark.read.parquet(args.links)
+        seeds = spark.read.text(args.seeds).withColumnRenamed("value", "url") \
+            if args.seeds else None
+        robots = None
+
+    cfg = CrawlConfig(
+        max_hops=args.max_hops,
+        per_host_budget=args.per_host_budget,
+        host_salt_buckets=args.salt_buckets,
+        bloom_prefilter=args.bloom,
+        robots=args.robots,
+        max_rounds=args.rounds,
+    )
+    job = CrawlJob(spark, args.warehouse, pages, links, cfg, robots=robots)
+    stats = job.run(seeds=seeds, max_rounds=args.rounds)
+    for s in stats:
+        print(json.dumps(s.__dict__))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -145,6 +145,15 @@ def build_metadata(
 
     # ---- link graph (only 200-status html pages have bodies to parse) ----
     src_rows = html_idx[status[html_idx] == 200]
+    if n_pages >= 5000:
+        # bench scale: vectorized generator (same distribution family;
+        # the small-scale loop below is kept verbatim so golden tests
+        # stay stable)
+        links = _links_vectorized(
+            rng, urls, page_host_idx, html_idx, image_idx, src_rows, n_hosts
+        )
+        seeds = _seeds_frame(urls, src_rows, page_host_idx, n_hosts)
+        return pages, links, seeds
     links_src, links_dst, links_kind, links_tag = [], [], [], []
 
     def _add(src_i: int, dst_i: int, kind: str, tag: str, style: float) -> None:
@@ -212,9 +221,96 @@ def build_metadata(
     if seed_urls:
         seed_urls.append(seed_urls[0])  # duplicate (dedup at seeding, crawl.go:217-235)
     seed_urls.append("::not a url::")  # skip-on-parse-error (item.go:76-80)
-    seeds = pd.DataFrame({"url": seed_urls})
+    seeds = pd.DataFrame({"url": seed_urls, "line": range(len(seed_urls))})
 
     return pages, links, seeds
+
+
+def _seeds_frame(
+    urls: np.ndarray, src_rows: np.ndarray, page_host_idx: np.ndarray, n_hosts: int
+) -> pd.DataFrame:
+    """First 200-status html page per host, up to max(3, n_hosts//2)
+    hosts, plus a duplicate and one invalid URL (same shape as the
+    small-scale loop)."""
+    first_per_host = (
+        pd.DataFrame({"i": src_rows, "h": page_host_idx[src_rows]})
+        .drop_duplicates("h")
+        .head(max(3, n_hosts // 2))
+    )
+    seed_urls = [urls[i] for i in first_per_host["i"]]
+    if seed_urls:
+        seed_urls.append(seed_urls[0])
+    seed_urls.append("::not a url::")
+    return pd.DataFrame({"url": seed_urls, "line": range(len(seed_urls))})
+
+
+def _links_vectorized(
+    rng: np.random.Generator,
+    urls: np.ndarray,
+    page_host_idx: np.ndarray,
+    html_idx: np.ndarray,
+    image_idx: np.ndarray,
+    src_rows: np.ndarray,
+    n_hosts: int,
+) -> pd.DataFrame:
+    """Vectorized link-graph generator for bench-scale corpora: poisson
+    out-degrees, same-host bias via per-host index buckets, relative /
+    fragment URL styles, self-links — all numpy, no per-edge Python."""
+    paths = pd.Series(urls).str.replace(r"^https?://[^/]*", "", regex=True).to_numpy()
+
+    def _bucketize(idx: np.ndarray):
+        order = np.argsort(page_host_idx[idx], kind="stable")
+        sorted_idx = idx[order]
+        counts = np.bincount(page_host_idx[idx], minlength=n_hosts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        return sorted_idx, starts, counts
+
+    html_sorted, html_start, html_cnt = _bucketize(html_idx)
+    img_sorted, img_start, img_cnt = _bucketize(image_idx)
+
+    def _edges(pool_sorted, pool_start, pool_cnt, pool_all, mean_deg, same_p, kind, tag):
+        deg = rng.poisson(mean_deg, size=len(src_rows))
+        src = np.repeat(src_rows, deg)
+        if len(src) == 0:
+            return None
+        sh = page_host_idx[src]
+        same = (rng.random(len(src)) < same_p) & (pool_cnt[sh] > 0)
+        pick = np.empty(len(src), dtype=np.int64)
+        r = rng.random(len(src))
+        pick[same] = pool_sorted[
+            pool_start[sh[same]] + (r[same] * pool_cnt[sh[same]]).astype(np.int64)
+        ]
+        pick[~same] = pool_all[(r[~same] * len(pool_all)).astype(np.int64)]
+        style = rng.random(len(src))
+        dst_u = urls[pick].astype(object)
+        rel = (style < 0.2) & (page_host_idx[pick] == sh)
+        dst_u[rel] = paths[pick[rel]]
+        frag = (~rel) & (style < 0.3)
+        dst_u[frag] = np.char.add(
+            urls[pick[frag]], np.char.add("#frag", (pick[frag] % 7).astype(str))
+        ).astype(object)
+        return pd.DataFrame(
+            {"src_url": urls[src], "dst_url": dst_u, "kind": kind, "tag": tag}
+        )
+
+    frames = [
+        _edges(html_sorted, html_start, html_cnt, html_idx, 4, 0.6, "outlink", "a"),
+        _edges(img_sorted, img_start, img_cnt, image_idx, 2, 0.8, "asset", "img"),
+    ]
+    # self-references (guard F9), ~5% of sources
+    self_mask = rng.random(len(src_rows)) < 0.05
+    if self_mask.any():
+        s = src_rows[self_mask]
+        frames.append(
+            pd.DataFrame(
+                {"src_url": urls[s], "dst_url": urls[s], "kind": "asset", "tag": "img"}
+            )
+        )
+    frames = [f for f in frames if f is not None]
+    out = pd.concat(frames, ignore_index=True)
+    # in-batch duplicate edges (~10%), exercising D6
+    dup = out.sample(frac=0.1, random_state=42)
+    return pd.concat([out, dup], ignore_index=True)
 
 
 def attach_payloads(spark: SparkSession, pages_meta: pd.DataFrame) -> DataFrame:
@@ -256,7 +352,7 @@ def build_corpus(
     return {
         "pages": pages,
         "links": spark.createDataFrame(links, schema=schemas.LINKS),
-        "seeds": spark.createDataFrame(seeds, schema=schemas.SEEDS),
+        "seeds": spark.createDataFrame(seeds, schema="url string, line long"),
         "robots": spark.createDataFrame(robots_rows, schema=schemas.ROBOTS),
     }
 

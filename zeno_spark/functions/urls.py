@@ -262,3 +262,54 @@ def resolve_udf(bases: pd.Series, refs: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def registrable_domain_udf(hosts: pd.Series) -> pd.Series:
     return _map_unique(hosts, registrable_domain)
+
+
+def reg_domain_col(host_col):
+    """Native-Column registrable domain (last two dot-labels, exactly
+    registrable_domain()): keeps the F8 predicate inside codegen."""
+    parts = F.split(host_col, r"\.")
+    return F.when(
+        F.size(parts) >= 2, F.concat_ws(".", F.slice(parts, -2, 2))
+    ).otherwise(F.lit(""))
+
+
+# Fused URL pipeline: resolve -> canonicalize -> hash -> host in ONE
+# Arrow roundtrip (chaining separate pandas UDFs costs one serialize/
+# deserialize pass each; at bench scale the fused form cut the extract
+# stage ~4x).  A null/empty base means "ref is already absolute".
+_ENRICH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_ENRICH_SCHEMA)
+def enrich_url_udf(bases: pd.Series, refs: pd.Series) -> pd.DataFrame:
+    frame = pd.DataFrame({"b": bases, "r": refs})
+    uniq = frame.drop_duplicates()
+    canon_map: dict[tuple, str | None] = {}
+    for b, r in zip(uniq["b"], uniq["r"]):
+        if not isinstance(r, str):
+            canon_map[(b, r)] = None
+            continue
+        absu = resolve(b, r) if isinstance(b, str) and b else r
+        canon_map[(b, r)] = canonicalize(absu)
+    canon = pd.Series(
+        [canon_map[(b, r)] for b, r in zip(frame["b"], frame["r"])],
+        index=frame.index,
+    )
+    # hash the distinct canonical urls once, vectorized
+    uniq_canon = canon.dropna().unique()
+    hashes = fnv1a64_np(pd.Series(uniq_canon))
+    hash_map = dict(zip(uniq_canon, hashes))
+    host_map = {u: url_host(u) for u in uniq_canon}
+    return pd.DataFrame(
+        {
+            "url": canon,
+            "url_hash": canon.map(hash_map),
+            "host": canon.map(host_map),
+        }
+    )

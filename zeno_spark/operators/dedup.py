@@ -37,6 +37,92 @@ from pyspark.sql import functions as F
 
 _BLOOM_SCHEMA = "bucket int, m_bits long, k int, overflow boolean, bits binary"
 
+# ---------------------------------------------------------------------------
+# cuckoo overflow tier — kicks in when a bucket's key count would blow
+# the bloom size cap.  A cuckoo filter stores f-bit fingerprints in
+# 2-choice buckets: same no-false-negative guarantee as the bloom (so
+# the prefilter-only discipline holds), but capacity degrades gracefully
+# (kicked-out fingerprints fall back to an always-maybe stash) instead
+# of the filter saturating to all-ones the way an undersized bloom does.
+# Vectorized build/query in numpy; slots are uint16 fingerprints.
+# ---------------------------------------------------------------------------
+
+_CUCKOO_SLOTS = 4          # slots per bucket
+_CUCKOO_FP_BITS = 16       # fingerprint width (0 = empty sentinel)
+_CUCKOO_MAX_KICKS = 50
+
+
+def _cuckoo_params(h: np.ndarray, n_buckets: int):
+    """fingerprint + two candidate buckets per key (partial-key cuckoo:
+    b2 = b1 xor hash(fp))."""
+    fp = ((h >> np.uint64(40)) % np.uint64((1 << _CUCKOO_FP_BITS) - 1) + 1).astype(
+        np.uint64
+    )
+    b1 = (h % np.uint64(n_buckets)).astype(np.uint64)
+    b2 = (b1 ^ (fp * np.uint64(0x5BD1E995)) % np.uint64(n_buckets)) % np.uint64(
+        n_buckets
+    )
+    return fp.astype(np.uint16), b1.astype(np.int64), b2.astype(np.int64)
+
+
+def cuckoo_build(hashes: np.ndarray, load: float = 0.84) -> tuple[np.ndarray, np.ndarray]:
+    """Build a cuckoo table for the given 64-bit hashes.  Returns
+    (table[n_buckets, SLOTS] uint16, stash_fps uint16[]) — stash entries
+    are fingerprints that lost the kick fight (queried as always-maybe)."""
+    n = max(len(hashes), 1)
+    n_buckets = 1 << int(np.ceil(np.log2(max(n / (_CUCKOO_SLOTS * load), 1.0))))
+    table = np.zeros((n_buckets, _CUCKOO_SLOTS), dtype=np.uint16)
+    stash: list[int] = []
+    fp, b1, b2 = _cuckoo_params(hashes.astype(np.uint64), n_buckets)
+    rng_state = np.uint64(0x9E3779B97F4A7C15)
+    for i in range(len(hashes)):
+        f, c1, c2 = int(fp[i]), int(b1[i]), int(b2[i])
+        placed = False
+        for b in (c1, c2):
+            row = table[b]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = f
+                placed = True
+                break
+        if placed:
+            continue
+        cur_b, cur_f = c1, f
+        for kick in range(_CUCKOO_MAX_KICKS):
+            slot = (int(rng_state) + kick) % _CUCKOO_SLOTS
+            rng_state = np.uint64(
+                (int(rng_state) * 6364136223846793005 + 1) % (1 << 64)
+            )
+            cur_f, table[cur_b, slot] = int(table[cur_b, slot]), cur_f
+            cur_b = int(
+                (np.uint64(cur_b) ^ (np.uint64(cur_f) * np.uint64(0x5BD1E995))
+                 % np.uint64(len(table)))
+                % np.uint64(len(table))
+            )
+            row = table[cur_b]
+            empty = np.flatnonzero(row == 0)
+            if len(empty):
+                row[empty[0]] = cur_f
+                break
+        else:
+            stash.append(cur_f)
+    return table, np.array(stash, dtype=np.uint16)
+
+
+def cuckoo_query(
+    table: np.ndarray, stash: np.ndarray, hashes: np.ndarray
+) -> np.ndarray:
+    """Vectorized membership probe: maybe[i] = fp in either candidate
+    bucket or in the stash."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    n_buckets = len(table)
+    fp, b1, b2 = _cuckoo_params(hashes.astype(np.uint64), n_buckets)
+    hit1 = (table[b1] == fp[:, None]).any(axis=1)
+    hit2 = (table[b2] == fp[:, None]).any(axis=1)
+    in_stash = np.isin(fp, stash) if len(stash) else np.zeros(len(fp), dtype=bool)
+    return hit1 | hit2 | in_stash
+
 
 def in_batch_dedupe(df: DataFrame) -> DataFrame:
     """D6 — one row per canonical URL (the reference keeps the first map
@@ -89,11 +175,14 @@ def build_bloom_index(
     seen: DataFrame, n_buckets: int = 32, bits_per_key: int = 10, k: int = 4,
     min_bits: int = 1 << 12, max_bits: int = 1 << 27,
 ) -> DataFrame:
-    """One bloom per url_hash bucket, built distributed.  Returns a small
-    DataFrame (bucket, m_bits, k, overflow, bits).  `overflow` marks a
-    bucket whose key count blew past the size cap — the cuckoo-overflow
-    slot; such buckets are treated as always-maybe (prefilter disabled,
-    exactness unaffected)."""
+    """One filter per url_hash bucket, built distributed.  Returns a
+    small DataFrame (bucket, m_bits, k, overflow, bits).  A bucket whose
+    key count would blow past the bloom size cap overflows to the
+    CUCKOO tier (overflow=true, bits = serialized cuckoo table+stash):
+    same no-false-negative guarantee, so the prefilter-only discipline
+    holds in both tiers."""
+    import struct
+
     keyed = seen.select(bucket_of("url_hash", n_buckets).alias("bucket"), "url_hash")
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -102,8 +191,24 @@ def build_bloom_index(
         m = min(max(int(n * bits_per_key), min_bits), max_bits)
         m = (m + 63) // 64 * 64
         overflow = n * bits_per_key > max_bits
+        if overflow:
+            table, stash = cuckoo_build(hashes)
+            payload = (
+                struct.pack("<QQ", len(table), len(stash))
+                + table.tobytes()
+                + stash.tobytes()
+            )
+            return pd.DataFrame(
+                {
+                    "bucket": [int(pdf["bucket"].iloc[0])],
+                    "m_bits": [m],
+                    "k": [k],
+                    "overflow": [True],
+                    "bits": [payload],
+                }
+            )
         bits = np.zeros(m // 8, dtype=np.uint8)
-        if not overflow and n:
+        if n:
             pos = _bloom_positions(hashes, m, k).ravel()
             np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
         return pd.DataFrame(
@@ -111,7 +216,7 @@ def build_bloom_index(
                 "bucket": [int(pdf["bucket"].iloc[0])],
                 "m_bits": [m],
                 "k": [k],
-                "overflow": [overflow],
+                "overflow": [False],
                 "bits": [bits.tobytes()],
             }
         )
@@ -142,7 +247,21 @@ def bloom_prefilter(
         if bloom_pdf.empty:
             maybe = np.zeros(len(cand_pdf), dtype=bool)
         elif bool(bloom_pdf["overflow"].iloc[0]):
-            maybe = np.ones(len(cand_pdf), dtype=bool)  # overflow tier: no prefilter
+            # cuckoo overflow tier
+            import struct
+
+            payload = bytes(bloom_pdf["bits"].iloc[0])
+            n_tbl, n_stash = struct.unpack_from("<QQ", payload, 0)
+            off = 16
+            table = np.frombuffer(
+                payload, dtype=np.uint16, count=n_tbl * _CUCKOO_SLOTS, offset=off
+            ).reshape(n_tbl, _CUCKOO_SLOTS)
+            stash = np.frombuffer(
+                payload, dtype=np.uint16, count=n_stash,
+                offset=off + table.nbytes,
+            )
+            hashes = cand_pdf["url_hash"].to_numpy(dtype=np.int64)
+            maybe = cuckoo_query(table, stash, hashes)
         else:
             bits = np.frombuffer(bloom_pdf["bits"].iloc[0], dtype=np.uint8)
             m = int(bloom_pdf["m_bits"].iloc[0])
@@ -175,6 +294,16 @@ def dedupe_against_seen(
         return anti_join_seen(candidates, seen)
     blooms = build_bloom_index(seen, n_buckets=n_buckets)
     tagged = bloom_prefilter(candidates, blooms, n_buckets=n_buckets)
-    definitely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    return definitely_new.unionByName(anti_join_seen(maybe, seen))
+    # one anti-join with maybe_seen as a residual condition: rows the
+    # bloom cleared can never match, so they skip the probe and survive;
+    # no two-branch union, no double compute of the prefilter pipeline
+    s = seen.select(
+        F.col("url_hash").alias("__sh"), F.col("url").alias("__su")
+    )
+    return tagged.join(
+        s,
+        F.col("maybe_seen")
+        & (F.col("url_hash") == F.col("__sh"))
+        & (F.col("url") == F.col("__su")),
+        "left_anti",
+    ).drop("maybe_seen")

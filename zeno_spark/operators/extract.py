@@ -68,23 +68,26 @@ def extract_candidates(
         links, parents["parent_url"] == links["src_url"], "inner"
     ).drop("src_url")
 
-    # P3-P6: resolve relative vs parent, strip fragment, canonicalize (the
-    # UDF strips the fragment as part of canonical form), hash, host.
-    resolved = edges.withColumn(
-        "__abs", U.resolve_udf(F.col("parent_url"), F.col("dst_url"))
-    ).withColumn("url", U.canonicalize_udf(F.col("__abs")))
-    resolved = resolved.filter(F.col("url").isNotNull())  # skip-on-parse-error
+    # P3-P6: resolve relative vs parent, strip fragment, canonicalize,
+    # hash, host — ONE fused Arrow roundtrip (enrich_url_udf); chaining
+    # separate pandas UDFs would serialize the batch once per step.
     resolved = (
-        resolved.withColumn("url_hash", U.fnv1a64_udf(F.col("url")))
-        .withColumn("host", U.host_udf(F.col("url")))
+        edges.withColumn(
+            "__e", U.enrich_url_udf(F.col("parent_url"), F.col("dst_url"))
+        )
+        .withColumn("url", F.col("__e.url"))
+        .withColumn("url_hash", F.col("__e.url_hash"))
+        .withColumn("host", F.col("__e.host"))
+        .drop("__e")
+        .filter(F.col("url").isNotNull())  # skip-on-parse-error
     )
 
     # F8: domains-crawl pass (hop 0 re-entry) — native comparison of
-    # last-two-label domains; the 25 hosting providers need the substring
-    # rule, done via the registrable-domain UDF output.
+    # last-two-label domains (reg_domain_col stays in codegen); the 25
+    # hosting providers need the substring rule.
     if cfg.domains_crawl:
-        odom = U.registrable_domain_udf(F.col("parent_host"))
-        ldom = U.registrable_domain_udf(F.col("host"))
+        odom = U.reg_domain_col(F.col("parent_host"))
+        ldom = U.reg_domain_col(F.col("host"))
         in_providers = odom.isin(*sorted(U._SUBDOMAIN_ONLY))
         pass_ok = (F.col("parent_hop") == 0) & (odom != "") & (ldom != "") & (
             F.when(in_providers, F.col("host").contains(F.col("parent_host")))
@@ -139,18 +142,17 @@ def redirect_candidates(
 
     resolved = (
         redirects.withColumn(
-            "__abs", U.resolve_udf(F.col("url"), F.col("redirect_to"))
+            "__e", U.enrich_url_udf(F.col("url"), F.col("redirect_to"))
         )
-        .withColumn("__target", U.canonicalize_udf(F.col("__abs")))
-        .filter(F.col("__target").isNotNull())
+        .filter(F.col("__e.url").isNotNull())
         .filter(redirect_gate(F.col("redirect"), cfg))
-        .filter(F.col("__target") != F.col("url"))  # self-redirect stop (capture.go:120-122)
+        .filter(F.col("__e.url") != F.col("url"))  # self-redirect stop (capture.go:120-122)
     )
     return resolved.select(
         F.col("id"),  # redirect keeps the item id (capture.go:165-178)
-        F.col("__target").alias("url"),
-        U.fnv1a64_udf(F.col("__target")).alias("url_hash"),
-        U.host_udf(F.col("__target")).alias("host"),
+        F.col("__e.url").alias("url"),
+        F.col("__e.url_hash").alias("url_hash"),
+        F.col("__e.host").alias("host"),
         F.col("url").alias("parent_url"),
         F.col("hop"),
         F.col("type"),
@@ -158,7 +160,7 @@ def redirect_candidates(
         (F.col("redirect") + 1).cast("int").alias("redirect"),
         F.lit(0).alias("retry"),
         discovered_seq(
-            F.lit(round_no + 1), U.fnv1a64_udf(F.col("__target"))
+            F.lit(round_no + 1), F.col("__e.url_hash")
         ).alias("enqueue_seq"),
         F.lit(round_no + 1).cast("int").alias("discovered_round"),
         F.lit(round_no + 1).cast("int").alias("not_before_round"),

@@ -58,6 +58,24 @@ FETCH_RESULT = T.StructType(
 )
 
 
+def _verify_payloads(out: pd.DataFrame) -> None:
+    """Decode every fetched image payload and recompute its perceptual
+    hash — the WARC payload-digest step of the reference's sink
+    (crawl/crawl.go:96-99) applied to the image corpus: a fetch isn't
+    'ok' until its payload decodes and its digest matches the metadata.
+    Mutates `out` in place: phash is overwritten with the recomputed
+    value; undecodable payloads get status 422."""
+    from zeno_spark.functions.images import decode_image, phash64
+
+    mask = (out["status"] == 200) & out["bytes"].notna() & out["fmt"].notna()
+    for i in out.index[mask]:
+        try:
+            px = decode_image(bytes(out.at[i, "bytes"]), out.at[i, "fmt"])
+            out.at[i, "phash"] = phash64(px)
+        except Exception:
+            out.at[i, "status"] = 422  # fetched but payload invalid
+
+
 def _effective_status(pdf: pd.DataFrame) -> pd.Series:
     raw = pdf["__page_status"]
     status = raw.fillna(404).astype("int64")  # missing page = 404 analogue
@@ -102,6 +120,7 @@ def fetch(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
         out.loc[failed, ["w", "h", "phash"]] = pd.NA
         # a 200 never re-redirects; keep redirect_to only on 3xx rows
         out.loc[~out["status"].between(300, 399), "redirect_to"] = None
+        _verify_payloads(out)
         return out
 
     return joined.groupBy("host").applyInPandas(_worker, schema=FETCH_RESULT)

@@ -149,15 +149,23 @@ class CrawlJob:
     def seed(self, seed_urls_df: DataFrame) -> int:
         """Round -1: parse/canonicalize the seed list, drop unparsable
         rows (item.go:76-80), dedupe (crawl.go:217-235), enqueue at hop 0.
-        enqueue_seq = seed-file line order (zipWithIndex is deterministic
-        for a stable input file — the batch analogue of append order)."""
-        rdd = seed_urls_df.select("url").rdd.map(lambda r: r.url).zipWithIndex()
-        raw = self.spark.createDataFrame(rdd, "url string, line long")
+        enqueue_seq = seed-file line order (a `line` column if the source
+        provides one, else zipWithIndex — deterministic for a stable
+        input file; the batch analogue of append order)."""
+        if "line" in seed_urls_df.columns:
+            raw = seed_urls_df.select("url", F.col("line").cast("long"))
+        else:
+            rdd = seed_urls_df.select("url").rdd.map(lambda r: r.url).zipWithIndex()
+            raw = self.spark.createDataFrame(rdd, "url string, line long")
         parsed = (
-            raw.withColumn("curl", U.canonicalize_udf(F.col("url")))
+            raw.withColumn("__e", U.enrich_url_udf(F.lit(None), F.col("url")))
+            .select(
+                F.col("__e.url").alias("curl"),
+                F.col("__e.url_hash").alias("url_hash"),
+                F.col("__e.host").alias("host"),
+                "line",
+            )
             .filter(F.col("curl").isNotNull())
-            .withColumn("url_hash", U.fnv1a64_udf(F.col("curl")))
-            .withColumn("host", U.host_udf(F.col("curl")))
             .filter(F.col("host") != "")
         )
         items = parsed.select(
@@ -225,44 +233,49 @@ class CrawlJob:
         cand = extract_candidates(ok_html, self.links, cfg, round_no)
         cand = cand.unionByName(redirect_candidates(redirects, cfg, round_no))
         cand = cand.cache()
-        n_discovered = cand.count()
 
         in_batch = dedup.in_batch_dedupe(cand)
         new = dedup.dedupe_against_seen(
             in_batch, self.seen.read(), use_bloom=cfg.bloom_prefilter
         ).cache()
-        n_new = new.count()
 
         frontier_cols = [f.name for f in schemas.FRONTIER.fields]
         retries = backoff_retry_rows(failed_429, round_no, cfg).select(*frontier_cols)
 
-        # ---- per-host lineage/counters (one shuffle via tag+pivot) ----
-        kinds = ["scheduled", "fetched_ok", "fetched_err", "redirects",
-                 "retries", "discovered", "new_after_dedup"]
-        tagged = (
-            sched.select("host", F.lit("scheduled").alias("k"))
-            .unionByName(ok.select("host", F.lit("fetched_ok").alias("k")))
-            .unionByName(
-                results.filter(F.col("status") != 200).select(
-                    "host", F.lit("fetched_err").alias("k")
-                )
-            )
-            .unionByName(redirects.select("host", F.lit("redirects").alias("k")))
-            .unionByName(retries.select("host", F.lit("retries").alias("k")))
-            .unionByName(cand.select("host", F.lit("discovered").alias("k")))
-            .unionByName(new.select("host", F.lit("new_after_dedup").alias("k")))
-        )
+        # ---- per-host lineage/counters ----
+        # pre-aggregate each (cached) source to per-host counts BEFORE
+        # the union, then pivot-sum the tiny per-host frames: the shuffle
+        # carries n_hosts*7 rows instead of every item row (measured ~4x
+        # cheaper than the tag-then-pivot form at bench scale)
+        sources = {
+            "scheduled": sched,
+            "fetched_ok": ok,
+            "fetched_err": results.filter(F.col("status") != 200),
+            "redirects": redirects,
+            "retries": retries,
+            "discovered": cand,
+            "new_after_dedup": new,
+        }
+        kinds = list(sources)
+        per_host = [
+            df.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("host", F.lit(k).alias("k"), "n")
+            for k, df in sources.items()
+        ]
+        tagged = per_host[0]
+        for part in per_host[1:]:
+            tagged = tagged.unionByName(part)
         metric_rows = (
-            tagged.groupBy("host").pivot("k", kinds).count().na.fill(0)
+            tagged.groupBy("host").pivot("k", kinds).sum("n").na.fill(0)
             .select(
                 F.lit(round_no).cast("int").alias("round"),
                 "host",
                 *[F.col(k).cast("long").alias(k) for k in kinds],
             )
-        )
+        ).cache()
 
         # ---- round commits (atomic marker last) ----
-        n_ok = ok.count()
         self.fetched.append(fetched_rows)
         self.seen.append(
             new.select(
@@ -274,6 +287,14 @@ class CrawlJob:
             sched.select(_claim_key().alias("id"), F.lit(round_no).alias("round"))
         )
         self.metrics.append(metric_rows)
+        # round totals from the (cached) per-host lineage — one small agg
+        # instead of a count() job per intermediate
+        totals = metric_rows.groupBy().agg(
+            *[F.sum(k).alias(k) for k in kinds]
+        ).collect()[0]
+        n_ok = totals["fetched_ok"] or 0
+        n_discovered = totals["discovered"] or 0
+        n_new = totals["new_after_dedup"] or 0
 
         # compaction (inside the round's commit scope: a crash before the
         # marker rolls the rewrite back with everything else)
@@ -287,6 +308,7 @@ class CrawlJob:
         results.unpersist()
         cand.unpersist()
         new.unpersist()
+        metric_rows.unpersist()
         return stats
 
     def _commit_empty(self, round_no: int, stats: RoundStats) -> None:

