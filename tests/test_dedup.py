@@ -70,17 +70,22 @@ def test_bloom_prefilter_identity(spark):
 
 
 def test_bloom_overflow_tier_is_exact(spark):
-    """A bucket past the size cap degrades to always-maybe (the cuckoo
-    overflow slot) — results still exact via the anti-join."""
+    """A bucket past the bloom size cap overflows to the CUCKOO tier:
+    no false negatives (every seen candidate stays 'maybe'), and the
+    exact anti-join result is unchanged."""
     cand = _cand(spark, [f"http://h.com/{i}" for i in range(100)])
     seen = _seen(spark, [f"http://h.com/{i}" for i in range(50)])
     blooms = dedup.build_bloom_index(seen, n_buckets=2, max_bits=64, min_bits=64)
-    assert all(r.overflow for r in blooms.collect())
-    out = dedup.dedupe_against_seen(cand, seen, use_bloom=True, n_buckets=2)
-    # max_bits/min_bits only affect build_bloom_index defaults here; the
-    # full path uses defaults — assert plain correctness instead
+    assert all(r.overflow for r in blooms.collect())  # cuckoo tier active
     tagged = dedup.bloom_prefilter(cand, blooms, n_buckets=2)
-    maybe = tagged.filter(F.col("maybe_seen"))
-    assert maybe.count() == 100  # overflow -> everything routed to exact join
-    exact = dedup.anti_join_seen(maybe.drop("maybe_seen"), seen)
-    assert exact.count() == 50
+    # no false negatives: all 50 actually-seen candidates flagged maybe
+    flagged = tagged.filter(F.col("maybe_seen")).select("url_hash", "url")
+    really_seen = cand.join(seen.select("url_hash", "url"), ["url_hash", "url"])
+    assert really_seen.join(flagged, ["url_hash", "url"], "left_anti").count() == 0
+    # end-to-end result identical to the plain anti-join
+    plain = {r.url for r in dedup.dedupe_against_seen(cand, seen, use_bloom=False).collect()}
+    cuckooed = {
+        r.url
+        for r in dedup.dedupe_against_seen(cand, seen, use_bloom=True, n_buckets=2).collect()
+    }
+    assert plain == cuckooed and len(plain) == 50
