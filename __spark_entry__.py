@@ -100,8 +100,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity tier (datapipe/similarity.py)
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_embs(s, d)),
         "dedup_embedding": lambda s, d: sim.cosine_pairs(_embs(s, d)),
-        # approximate ANN: no oracle entry (recall < 1 by design;
-        # recall vs brute force is asserted in tests/test_datapipe.py)
         "ann_lsh_topk": lambda s, d: sim.lsh_ann_topk(_embs(s, d)),
     }
 
@@ -130,4 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": dd.simhash_pairs_sql(),
         "ann_cosine_topk": sim.cosine_topk_sql(),
         "dedup_embedding": sim.cosine_pairs_sql(),
+        # deterministic plan (signature/probes/re-rank are pure
+        # expressions), so an exact oracle exists despite "ANN"
+        "ann_lsh_topk": sim.lsh_ann_topk_sql(),
     }

@@ -169,12 +169,64 @@ def test_resize_images_shapes(spark):
     assert decoded.shape == (8, 8, 3)
 
 
+def test_audio_features_real_wav(spark):
+    """Real WAV decode end-to-end: a generated 440 Hz sine at known
+    rate/length comes back with exact counts and the analytic RMS."""
+    from zeno_spark.functions.audio import decode_wav, encode_wav
+
+    rate, secs = 8000, 0.5
+    t = np.arange(int(rate * secs)) / rate
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+    stereo = np.stack([mono, -mono], axis=1)
+    df = spark.createDataFrame(
+        [("mono", bytearray(encode_wav(mono, rate)), "wav"),
+         ("stereo", bytearray(encode_wav(stereo, rate)), "wav")],
+        "media_id string, bytes binary, fmt string",
+    )
+    got = {r.media_id: r for r in mm.audio_features(df).collect()}
+    assert got["mono"].n_samples == 4000
+    assert got["mono"].sample_rate == 8000
+    assert got["mono"].channels == 1
+    assert abs(got["mono"].duration_sec - 0.5) < 1e-9
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2); 16-bit quantization slack
+    assert abs(got["mono"].rms - 0.5 / np.sqrt(2)) < 1e-3
+    assert got["stereo"].channels == 2
+    # codec round-trip within quantization error
+    dec, r2 = decode_wav(encode_wav(mono, rate))
+    assert r2 == rate and dec.shape == (4000, 1)
+    assert np.abs(dec[:, 0] - mono).max() < 1.0 / 32767
+
+
 def test_audio_video_stubs_are_gated(spark):
     df = spark.createDataFrame(
-        [("m", bytearray(b"\x00\x01"), "wav")],
+        [("m", bytearray(b"\x00\x01"), "mp3")],  # compressed: still gated
         "media_id string, bytes binary, fmt string",
     )
     with pytest.raises(Exception):  # NotImplementedError inside the executor
         mm.audio_features(df).collect()
     with pytest.raises(Exception):
         mm.sample_video_frames(df).collect()
+
+
+def test_cosine_pairs_banded_vs_exact(embeddings):
+    """The production pair operator (banded sign-LSH candidates + exact
+    verify) against the O(n^2) baseline: always a subset (the verify is
+    exact), and in the tight-near-dup regime the banding is for — the
+    clustered fixture, same-cluster cos ~0.99 — recall stays high."""
+    exact = {(r.vec_a, r.vec_b) for r in sim.cosine_pairs_exact(embeddings).collect()}
+    banded = {(r.vec_a, r.vec_b) for r in sim.cosine_pairs(embeddings).collect()}
+    assert banded <= exact
+    assert exact, "fixture produced no near-dup pairs"
+    recall = len(banded) / len(exact)
+    assert recall >= 0.9, f"banded recall too low on tight clusters: {recall}"
+
+
+def test_minhash_lsh_prunes_but_keeps_candidate_results(docs):
+    """Result identity of the candidate-only verify: every LSH pair must
+    carry the same (n_inter, n_union) the full jaccard join computes."""
+    exact = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_union)
+        for r in dd.jaccard_pairs(docs, t_num=7, t_den=10).collect()
+    }
+    for r in dd.minhash_lsh_pairs(docs, t_num=7, t_den=10).collect():
+        assert exact[(r.doc_a, r.doc_b)] == (r.n_inter, r.n_union)

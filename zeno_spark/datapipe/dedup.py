@@ -215,10 +215,15 @@ def minhash_lsh_pairs(
     docs: DataFrame, text_col: str = "text", t_num: int = 7, t_den: int = 10
 ) -> DataFrame:
     """LSH candidate pairs (band-bucket equi-join over banded signatures)
-    VERIFIED against exact Jaccard at t_num/t_den.  The band join only
-    prunes the pair space; the verify join decides membership, so false
-    positives are removed and results are a subset of jaccard_pairs
-    (equal when LSH recall is 1 at the threshold).
+    verified with an exact Jaccard computed FOR THE CANDIDATES ONLY.
+
+    The verify step routes the posting lists through the candidate pair
+    set — two equi-joins whose cost scales with |candidates|, never the
+    full all-pairs posting self-join — so LSH genuinely prunes: at 100 TB
+    the quadratic jaccard_pairs plan never runs here.  False positives
+    are removed by the exact threshold, so the result is identical to
+    `cand ∩ jaccard_pairs(docs)` by construction (same tokenization,
+    same DF_CAP, same integer threshold).
     Output: doc_a, doc_b, n_inter, n_union."""
     sigs = minhash_signatures(docs, text_col)
     band_keys = F.array(
@@ -244,8 +249,27 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    exact = jaccard_pairs(docs, text_col, t_num, t_den)
-    return cand.join(exact, ["doc_a", "doc_b"], "inner")
+    # candidate-only exact verify: intersect the two posting lists of
+    # each candidate pair (join 1 fans cand out by doc_a's tokens; join 2
+    # keeps the tokens doc_b shares), then apply the exact threshold
+    posting = _posting(docs, text_col)
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_set"))
+    pa = posting.select(F.col("doc_id").alias("doc_a"), "token")
+    pb = posting.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_set").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_set").alias("nb"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+        .filter(F.lit(t_den) * F.col("n_inter") >= F.lit(t_num) * F.col("n_union"))
+        .select("doc_a", "doc_b", "n_inter", "n_union")
+    )
 
 
 def minhash_lsh_pairs_sql(

@@ -9,10 +9,12 @@ Codec reality in this container (no PIL/libjpeg/ffmpeg):
   * image decode is REAL for our corpus formats — the pure-numpy PNG
     codec in functions/images.py (the 'jpeg' rows use the documented
     stub codec, functions/images.py:10-16);
-  * audio decode / video frame-sampling are STUBS raising
-    NotImplementedError behind the same batch plumbing — the schema,
-    partitioning, UDF signature and batch shape are real and tested;
-    a deployment drops soundfile/ffmpeg into the marked slots.
+  * audio decode is REAL for WAV/PCM (stdlib wave + numpy,
+    functions/audio.py); compressed audio and video frame-sampling are
+    gated NotImplementedError stubs behind the same batch plumbing —
+    the schema, partitioning, UDF signature and batch shape are real
+    and tested; a deployment drops soundfile/ffmpeg into the marked
+    dispatch slots.
 """
 
 from __future__ import annotations
@@ -127,35 +129,48 @@ AUDIO_FEATURES = T.StructType(
     [
         T.StructField("media_id", T.StringType(), True),
         T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
         T.StructField("rms", T.DoubleType(), True),
     ]
 )
 
 
-def decode_audio_batch(data: bytes, fmt: str) -> np.ndarray:
-    """STUB: a deployment plugs soundfile/librosa here."""
+def decode_audio_batch(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    """-> (samples float64 [-1,1] shape (frames, channels), rate).
+    WAV/PCM decode is REAL (stdlib wave + numpy — functions/audio.py,
+    the PNG-codec precedent); compressed formats stay gated: a
+    deployment plugs soundfile/librosa into this dispatch."""
+    if fmt == "wav":
+        from zeno_spark.functions.audio import decode_wav
+
+        return decode_wav(data)
     raise NotImplementedError(
-        "audio codecs are not available in this environment; "
+        f"audio codec for {fmt!r} is not available in this environment; "
         "swap in soundfile.read at deployment"
     )
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """Batch audio feature extraction over (media_id, bytes, fmt).  The
-    Spark plumbing (schema, mapInPandas batching) is real; the decode
-    call is the gated stub."""
+    """Batch audio feature extraction over (media_id, bytes, fmt):
+    sample counts, rate, duration, RMS level.  Runs end-to-end for WAV;
+    other formats hit the gated decode."""
     src = media.select("media_id", "bytes", "fmt").filter(F.col("bytes").isNotNull())
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, data, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["fmt"]):
-                samples = decode_audio_batch(bytes(data), fmt)  # raises in-sandbox
+                samples, rate = decode_audio_batch(bytes(data), fmt)
                 rows.append(
                     {
                         "media_id": media_id,
-                        "n_samples": int(samples.size),
-                        "rms": float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))),
+                        "n_samples": int(samples.shape[0]),
+                        "sample_rate": int(rate),
+                        "channels": int(samples.shape[1]),
+                        "duration_sec": float(samples.shape[0] / rate),
+                        "rms": float(np.sqrt(np.mean(samples**2))),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES.fields])

