@@ -240,3 +240,80 @@ def test_robots_gate_spark(spark):
     kept = {r.url for r in apply_robots_gate(cand, robots).collect()}
     # a.com/private blocked; unknown host b.com allowed
     assert kept == {"http://a.com/ok", "http://b.com/private/x"}
+
+
+# ---------------------------------------------------------------------------
+# inline <script> assets + per-tag disable (assets.go:302-381, cmd/get.go:48)
+# ---------------------------------------------------------------------------
+
+_SCRIPT_PAGE = """
+<html><body>
+<script type="application/json">{"media": {"url": "https://cdn.example.com/v.mp4"}}</script>
+<script src="/static/app.js"></script>
+<script>var player = {"hls": "https://cdn.example.com/stream.m3u8", "n": 3};</script>
+<script>fetch("https://api.example.com/data\\u002ejson")</script>
+<div data-item='{"img": "https://cdn.example.com/di.png"}'></div>
+<span data-preview="https://cdn.example.com/prev.jpg"></span>
+<img src="/i.png">
+</body></html>
+"""
+
+
+def test_script_json_body_extracted():
+    _, assets, _ = P.extract_html(_SCRIPT_PAGE)
+    assert "https://cdn.example.com/v.mp4" in assets
+
+
+def test_script_variable_assignment_json_extracted():
+    _, assets, _ = P.extract_html(_SCRIPT_PAGE)
+    assert "https://cdn.example.com/stream.m3u8" in assets
+
+
+def test_script_regex_scan_unquotes_unicode_escapes():
+    _, assets, _ = P.extract_html(_SCRIPT_PAGE)
+    assert "https://api.example.com/data.json" in assets
+
+
+def test_data_item_and_data_preview_harvested():
+    _, assets, _ = P.extract_html(_SCRIPT_PAGE)
+    assert "https://cdn.example.com/di.png" in assets
+    assert "https://cdn.example.com/prev.jpg" in assets
+
+
+def test_disable_html_tag_prunes_tag_class():
+    _, assets, _ = P.extract_html(_SCRIPT_PAGE, frozenset({"script"}))
+    assert not any("app.js" in a or "v.mp4" in a or "stream" in a for a in assets)
+    assert "/i.png" in assets  # img not disabled
+    _, assets2, _ = P.extract_html(_SCRIPT_PAGE, frozenset({"img"}))
+    assert "/i.png" not in assets2
+    assert "/static/app.js" in assets2
+
+
+def test_script_brace_balance_stops_at_payload_end():
+    out = P.extract_script_assets(
+        'window.x = {"a": {"u": "https://x.example/a"}}; trailing("https://y.example/b")'
+    )
+    assert "https://x.example/a" in out
+    assert "https://y.example/b" in out  # regex pass still sees it
+
+
+def test_relative_link_header_resolved_on_html_path():
+    outlinks, _ = P.route_extract(
+        "https://h.example/page1", "text/html", "<html><body>hi</body></html>",
+        link_header="</page2>; rel=next",
+    )
+    assert "https://h.example/page2" in outlinks
+
+
+def test_s3_request_echo_prefix_not_emitted():
+    body = """<?xml version="1.0"?>
+    <ListBucketResult xmlns="http://s3.amazonaws.com/doc/2006-03-01/">
+      <Name>b</Name><Prefix>photos/</Prefix><IsTruncated>false</IsTruncated>
+      <Contents><Key>photos/a.jpg</Key></Contents>
+      <CommonPrefixes><Prefix>photos/2024/</Prefix></CommonPrefixes>
+    </ListBucketResult>"""
+    urls = P.extract_s3(body, "https://b.s3.example.com/?prefix=photos/")
+    assert "https://b.s3.example.com/photos/a.jpg" in urls
+    assert "https://b.s3.example.com/?prefix=photos/2024/" in urls
+    # the top-level request-echo <Prefix> must NOT become a drill URL
+    assert "https://b.s3.example.com/?prefix=photos/" not in urls

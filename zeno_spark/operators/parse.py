@@ -56,6 +56,9 @@ from pyspark.sql import types as T
 # relaxed URL scan of body text (the xurls.Relaxed analogue, bounded to
 # http(s) schemes since everything else is dropped by F5 anyway)
 _URL_RE = re.compile(r"https?://[^\s\"'<>\\)\\(]+")
+# script bodies carry \uXXXX-escaped URLs (assets.go:333-339 unquotes
+# them), so the script-scan regex must admit backslashes
+_SCRIPT_URL_RE = re.compile(r"https?://[^\s\"'<>)(]+")
 _CSS_URL_RE = re.compile(r"url\(\s*['\"]?([^'\")\s]+)['\"]?\s*\)")
 
 _ASSET_TAGS = {
@@ -80,17 +83,71 @@ def _parse_srcset(value: str) -> list[str]:
     return out
 
 
+def _unquote_url(u: str) -> str | None:
+    """strconv.Unquote analogue (assets.go:333-339): resolve \\uXXXX
+    escapes that appear in script-embedded URLs; None = skip (the
+    reference skips unquotable matches)."""
+    if "\\" not in u:
+        return u
+    try:
+        return json.loads(f'"{u}"')
+    except Exception:
+        return None
+
+
+def extract_script_assets(text: str, script_type: str = "") -> list[str]:
+    """Inline <script> asset harvest (assets.go:302-381), three passes:
+
+      1. type="application/json" bodies -> full JSON URL walk
+      2. relaxed URL regex over the script content, http-prefixed
+         matches kept, unicode-unquoted (outer-HTML regex scan analogue)
+      3. variable-assignment JSON: bodies not starting '{' are split
+         after the first '=', brace-balanced to the payload end, and
+         JSON-walked (assets.go:343-381)
+    """
+    out: list[str] = []
+    if script_type == "application/json":
+        out.extend(extract_json(text))
+    for m in _SCRIPT_URL_RE.findall(text):
+        if m.startswith("http"):
+            u = _unquote_url(m)
+            if u is not None:
+                out.append(u)
+    if text and not text.startswith("{"):
+        _, eq, rest = text.partition("=")
+        if eq:
+            opened = closed = 0
+            end = 0
+            for pos, ch in enumerate(rest):
+                if ch == "{":
+                    opened += 1
+                elif ch == "}":
+                    closed += 1
+                else:
+                    continue
+                if opened and opened == closed:
+                    end = pos
+                    break
+            if end:
+                out.extend(extract_json(rest[: end + 1]))
+    return out
+
+
 class _Extractor(HTMLParser):
-    def __init__(self) -> None:
+    def __init__(self, disabled_tags: frozenset[str] = frozenset()) -> None:
         super().__init__(convert_charrefs=True)
         self.outlinks: list[str] = []
         self.assets: list[str] = []
         self.base: str | None = None
+        self.disabled = set(disabled_tags)  # --disable-html-tag (cmd/get.go:48)
         self._in_style = False
+        self._script: list[str] | None = None
+        self._script_type = ""
         self._text: list[str] = []
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
+        disabled = tag in self.disabled
         if tag == "base" and not self.base and a.get("href"):
             self.base = a["href"]  # P3: first <base> wins
         elif tag == "a" and a.get("href"):
@@ -99,41 +156,62 @@ class _Extractor(HTMLParser):
             self.outlinks.append(a["src"])
         elif tag == "ref" and a.get("target"):
             self.outlinks.append(a["target"])
-        elif tag == "link" and a.get("href"):
+        elif tag == "link" and a.get("href") and not disabled:
             if a.get("rel", "").lower() != "alternate":  # assets.go:402-417
                 self.assets.append(a["href"])
-        elif tag == "meta":
+        elif tag == "meta" and not disabled:
             for attr in ("href", "content"):
                 v = a.get(attr)
                 if v and v.startswith(("http://", "https://")):
                     self.assets.append(v)
-        elif tag == "style":
+        elif tag == "style" and not disabled:
             self._in_style = True
-        if tag in _ASSET_TAGS:
+        elif tag == "script" and not disabled:
+            self._script = []
+            self._script_type = a.get("type", "")
+        if tag in _ASSET_TAGS and not disabled:
             for attr in _ASSET_TAGS[tag]:
                 if a.get(attr):
                     self.assets.append(a[attr])
             for attr in _SRCSET_ATTRS:
                 if a.get(attr):
                     self.assets.extend(_parse_srcset(a[attr]))
-        # inline style="background: url(...)" (assets.go:364-377)
+        # [data-item] JSON payloads (assets.go:197-207)
+        if a.get("data-item"):
+            self.assets.extend(extract_json(a["data-item"]))
+        # data-preview URLs (assets.go:225-231)
+        if a.get("data-preview", "").startswith("http"):
+            self.assets.append(a["data-preview"])
+        # inline style="background: url(...)" (assets.go:210-223)
         if a.get("style"):
             self.assets.extend(_CSS_URL_RE.findall(a["style"]))
 
     def handle_endtag(self, tag):
         if tag == "style":
             self._in_style = False
+        elif tag == "script" and self._script is not None:
+            self.assets.extend(
+                extract_script_assets("".join(self._script), self._script_type)
+            )
+            self._script = None
+            self._script_type = ""
 
     def handle_data(self, data):
         if self._in_style:
             self.assets.extend(_CSS_URL_RE.findall(data))
+        elif self._script is not None:
+            self._script.append(data)
         else:
             self._text.append(data)
 
 
-def extract_html(body: str) -> tuple[list[str], list[str], str | None]:
-    """P1+P2+P3: (outlinks, assets, base_override)."""
-    p = _Extractor()
+def extract_html(
+    body: str, disabled_tags: frozenset[str] = frozenset()
+) -> tuple[list[str], list[str], str | None]:
+    """P1+P2+P3: (outlinks, assets, base_override).  ``disabled_tags``
+    = the reference's --disable-html-tag column-pruning knob (asset tags
+    only; outlink tags are never disabled, matching assets.go)."""
+    p = _Extractor(disabled_tags)
     try:
         p.feed(body)
     except Exception:
@@ -254,9 +332,13 @@ def extract_s3(body: str, base_url: str) -> list[str]:
     for key in root.iter(f"{ns}Key"):
         if key.text:
             out.append(f"{base}/{key.text}")
-    for prefix in root.iter(f"{ns}Prefix"):
-        if prefix.text and prefix.text.strip("/"):
-            out.append(f"{base}/?prefix={prefix.text}")
+    # drill-down prefixes come from CommonPrefixes children ONLY — the
+    # top-level request-echo <Prefix> element every ListBucketResult
+    # carries must not become a self-referential drill URL
+    for common in root.iter(f"{ns}CommonPrefixes"):
+        for prefix in common.iter(f"{ns}Prefix"):
+            if prefix.text and prefix.text.strip("/"):
+                out.append(f"{base}/?prefix={prefix.text}")
     truncated = next(root.iter(f"{ns}IsTruncated"), None)
     if truncated is not None and (truncated.text or "").lower() == "true":
         token = next(root.iter(f"{ns}NextContinuationToken"), None)
@@ -283,15 +365,32 @@ EXTRACTED = T.StructType(
 
 def route_extract(url: str, content_type: str, body: str,
                   link_header: str | None = None,
-                  server_header: str | None = None) -> tuple[list[str], list[str]]:
+                  server_header: str | None = None,
+                  disabled_tags: frozenset[str] = frozenset(),
+                  ) -> tuple[list[str], list[str]]:
     """P12 content-type routing -> (outlinks, assets); relative URLs are
-    resolved against the document (or its <base>)."""
+    resolved against the document (or its <base>).  Site-specific
+    extractor branches (§2.7) run before generic routing, mirroring
+    capture.go:396-416's post-response dispatch."""
+    from zeno_spark.operators import sitespecific as ss
+
     ct = (content_type or "").split(";")[0].strip().lower()
     outlinks: list[str] = []
     assets: list[str] = []
     if link_header:
-        outlinks.extend(u for u, _rel in parse_link_header(link_header))
-    if is_s3_listing(server_header):
+        # RFC 8288 allows relative targets; resolve against the request
+        # URL on EVERY return path (the html branch returns early)
+        outlinks.extend(urljoin(url, u) for u, _rel in parse_link_header(link_header))
+    if ss.is_reddit_post_api(url):
+        # reddit post-API JSON: permalinks -> outlinks, payload URL walk
+        # -> assets (sitespecific/reddit/post.go:188-220)
+        perms, raw = ss.extract_reddit_post(body)
+        outlinks.extend(perms)
+        assets.extend(raw)
+    elif ss.is_ina_api(url):
+        # ina partner-API JSON -> media URLs (ina.go:178-195)
+        assets.extend(ss.extract_ina_medias(body))
+    elif is_s3_listing(server_header):
         outlinks.extend(extract_s3(body, url))
     elif ct.endswith("xml") or body[:256].lstrip().startswith("<?xml"):
         urls, sitemap = extract_xml(body)
@@ -301,7 +400,11 @@ def route_extract(url: str, content_type: str, body: str,
     elif ct in ("application/x-mpegurl", "application/vnd.apple.mpegurl"):
         assets.extend(extract_m3u8(body, url))
     elif ct.startswith("text/"):
-        o, a, base = extract_html(body)
+        o, a, base = extract_html(body, disabled_tags)
+        if ss.is_ina(url):
+            # ina player divs carry config/details/poster URLs
+            # (ina.go:84-100); the live JWPlayer discovery is stubbed
+            a = list(a) + ss.extract_ina_player_attrs(body)
         doc_base = base or url
         outlinks.extend(urljoin(doc_base, u) for u in o)
         assets.extend(urljoin(doc_base, u) for u in a)
@@ -309,17 +412,20 @@ def route_extract(url: str, content_type: str, body: str,
     return [urljoin(url, u) for u in outlinks], [urljoin(url, u) for u in assets]
 
 
-def extract_from_content(fetched: DataFrame) -> DataFrame:
+def extract_from_content(
+    fetched: DataFrame, disabled_tags: frozenset[str] = frozenset()
+) -> DataFrame:
     """Batch extraction over (url, content_type, bytes) — the content-
     mode analogue of operators/extract.py's links-table join.  One
-    mapInPandas pass; explode downstream."""
+    mapInPandas pass; explode downstream.  ``disabled_tags`` prunes
+    asset tag classes before the explode (--disable-html-tag)."""
 
     def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for url, ct, body in zip(pdf["url"], pdf["content_type"], pdf["bytes"]):
                 text = bytes(body).decode("utf-8", "replace") if body is not None else ""
-                o, a = route_extract(url, ct, text)
+                o, a = route_extract(url, ct, text, disabled_tags=disabled_tags)
                 rows.append({"url": url, "outlinks": o, "assets": a})
             yield pd.DataFrame(rows, columns=["url", "outlinks", "assets"])
 
