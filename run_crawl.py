@@ -29,6 +29,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="zeno_spark crawl driver")
+    ap.add_argument("urls", nargs="*",
+                    help="seed URLs as positional args (S2, `zeno get url "
+                         "<URL...>` — cmd/get_url.go:36-55); merged after "
+                         "--seeds file entries, file order first")
     ap.add_argument("--seeds", help="URL-per-line seed file (S1)")
     ap.add_argument("--warehouse", required=True, help="table warehouse dir")
     ap.add_argument("--rounds", type=int, default=8)
@@ -65,10 +69,18 @@ def main() -> None:
     else:
         if not (args.pages and args.links):
             ap.error("--pages/--links required without --synthetic-pages")
-        pages = spark.read.parquet(args.pages)
+        # host layout keeps payload bytes out of every per-round shuffle
+        # (operators/fetch.py plan discipline)
+        pages = spark.read.parquet(args.pages).repartition("host")
         links = spark.read.parquet(args.links)
-        seeds = spark.read.text(args.seeds).withColumnRenamed("value", "url") \
-            if args.seeds else None
+        seeds = None
+        if args.seeds:
+            seeds = spark.read.text(args.seeds).withColumnRenamed("value", "url")
+        if args.urls:
+            # S2: argv URLs enqueue after the file block, in argv order;
+            # CrawlJob.seed() assigns the FIFO line order over the union
+            argv_df = spark.createDataFrame([(u,) for u in args.urls], "url string")
+            seeds = argv_df if seeds is None else seeds.unionByName(argv_df)
         robots = None
 
     cfg = CrawlConfig(

@@ -27,8 +27,14 @@ from zeno_spark.functions.urls import fnv1a64
 from zeno_spark.oracle import crawl_oracle
 from zeno_spark.plans.crawl import CrawlJob
 
-CFG = CrawlConfig(max_hops=3, per_host_budget=8, max_rounds=20, compact_every=4)
-SMALL_CFG = CrawlConfig(max_hops=2, per_host_budget=8, max_rounds=12, compact_every=3)
+# payload_dedupe_min_size=64: the synthetic images are 16-64 px, so the
+# reference's 1024-byte threshold would exempt most of them; 64 keeps
+# the D8 path exercised end-to-end (the threshold itself is covered by
+# test_payload_revisit_threshold)
+CFG = CrawlConfig(max_hops=3, per_host_budget=8, max_rounds=20, compact_every=4,
+                  payload_dedupe_min_size=64)
+SMALL_CFG = CrawlConfig(max_hops=2, per_host_budget=8, max_rounds=12, compact_every=3,
+                        payload_dedupe_min_size=64)
 
 
 def _mk_corpus(spark, n_pages, n_hosts):
@@ -100,11 +106,12 @@ def test_crawl_matches_oracle(full_run, oracle_result):
 
 
 def test_fetched_content_invariant(full_run):
-    """input_hint per-row invariant over every fetched image row."""
+    """input_hint per-row invariant over every fetched image row
+    (revisit rows carry no payload by D8 design — checked separately)."""
     job, _ = full_run
     rows = (
         job.fetched.read()
-        .filter(F.col("image_id").isNotNull())
+        .filter(F.col("image_id").isNotNull() & ~F.col("revisit"))
         .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
         .collect()
     )
@@ -202,3 +209,168 @@ def test_bloom_and_salt_change_nothing(spark, small_corpus, small_oracle, tmp_pa
     seen, fetched = _state(job)
     assert seen == small_oracle.seen
     assert fetched == set(small_oracle.fetched)
+
+
+def test_payload_revisits_match_oracle(full_run, oracle_result):
+    """D8: the sink's revisit rows (identical payload >= threshold seen
+    before, in-table or earlier in batch) match the oracle exactly, and
+    every revisit row carries digest + metadata but no bytes."""
+    job, _ = full_run
+    rows = job.fetched.read().filter(F.col("revisit")).collect()
+    got = {(r.round, r.url) for r in rows}
+    assert got == oracle_result.revisits
+    assert got, "corpus produced no payload duplicates to revisit"
+    for r in rows:
+        assert r.bytes is None
+        assert r.payload_digest is not None
+        assert r.caption is not None  # metadata survives the dedupe
+
+
+def test_payload_revisit_threshold(spark, tmp_path):
+    """Payloads under payload_dedupe_min_size are exempt, mirroring the
+    reference's 1024-byte WARC dedupe threshold (cmd/get.go:80-82)."""
+    from zeno_spark.operators.fetch import mark_payload_revisits
+
+    big = bytearray(b"x" * 2000)
+    small = bytearray(b"y" * 10)
+    rows = [
+        ("http://a/1", 1, "a", big, 100),
+        ("http://a/2", 2, "a", big, 200),     # dup of big -> revisit
+        ("http://a/3", 3, "a", small, 300),
+        ("http://a/4", 4, "a", small, 400),   # dup but under threshold
+    ]
+    ok = spark.createDataFrame(
+        rows, "url string, url_hash long, host string, bytes binary, enqueue_seq long"
+    )
+    prior = spark.createDataFrame([], "payload_digest string")
+    out = {r.url: r for r in mark_payload_revisits(ok, prior, 1024).collect()}
+    assert not out["http://a/1"].revisit and out["http://a/1"].bytes is not None
+    assert out["http://a/2"].revisit and out["http://a/2"].bytes is None
+    assert out["http://a/2"].payload_digest == out["http://a/1"].payload_digest
+    assert not out["http://a/3"].revisit and not out["http://a/4"].revisit
+    assert out["http://a/3"].payload_digest is None  # under threshold: no digest
+
+    # cross-round: a digest already in the sink marks new rows revisit
+    prior2 = spark.createDataFrame(
+        [(out["http://a/1"].payload_digest,)], "payload_digest string"
+    )
+    out2 = {r.url: r for r in mark_payload_revisits(ok, prior2, 1024).collect()}
+    assert out2["http://a/1"].revisit and out2["http://a/2"].revisit
+
+
+def test_o8_time_limit_soft_and_hard(spark, small_corpus, small_oracle, tmp_path):
+    """O8 (crawl/crawl.go:60-68): soft limit stops scheduling new
+    rounds; hard limit (1.1x) raises after the round's atomic commit."""
+    cfg = CrawlConfig(max_hops=2, per_host_budget=8, max_rounds=12,
+                      crawl_time_limit_sec=100.0)
+    # soft: 35s rounds -> ends at 35/70/105, all under the 110s hard bar;
+    # the pre-round check at t=105 >= 100 stops round 4 gracefully
+    t = {"now": 0.0}
+
+    def clock():
+        return t["now"]
+
+    job = CrawlJob(
+        spark, str(tmp_path / "wh_o8a"), small_corpus["dfs"]["pages"],
+        small_corpus["dfs"]["links"], cfg, clock=clock,
+    )
+    job.seed(small_corpus["dfs"]["seeds"])
+
+    real_run_round = job.run_round
+
+    def run_round(r):
+        t["now"] += 35.0  # each round "takes" 35s
+        return real_run_round(r)
+
+    job.run_round = run_round
+    stats = job.run(max_rounds=12)
+    assert len(stats) == 3  # soft finish, no TimeoutError
+
+    # hard: a single round that blows past 1.1x raises, but its marker
+    # committed (resumable)
+    t2 = {"now": 0.0}
+    job2 = CrawlJob(
+        spark, str(tmp_path / "wh_o8b"), small_corpus["dfs"]["pages"],
+        small_corpus["dfs"]["links"], cfg, clock=lambda: t2["now"],
+    )
+    job2.seed(small_corpus["dfs"]["seeds"])
+    real2 = job2.run_round
+
+    def slow_round(r):
+        t2["now"] += 200.0
+        return real2(r)
+
+    job2.run_round = slow_round
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        job2.run(max_rounds=12)
+    assert job2.last_committed_round() == 0  # round 0 committed before the kill
+
+
+def test_o7_disk_pause_until_space_frees(spark, small_corpus, tmp_path):
+    """O7 (crawl/utils.go:42-57): the driver loop sleeps while free disk
+    is under the floor and proceeds once the probe recovers."""
+    cfg = CrawlConfig(max_hops=1, per_host_budget=8, max_rounds=2,
+                      min_disk_space_bytes=1 << 30,
+                      disk_check_interval_sec=0.01)
+    free = {"v": 0, "probes": 0}
+    sleeps = {"n": 0}
+
+    def disk_free(_path):
+        free["probes"] += 1
+        return free["v"]
+
+    def fake_sleep(_s):
+        sleeps["n"] += 1
+        if sleeps["n"] >= 3:
+            free["v"] = 2 << 30  # space frees after 3 pause ticks
+
+    job = CrawlJob(
+        spark, str(tmp_path / "wh_o7"), small_corpus["dfs"]["pages"],
+        small_corpus["dfs"]["links"], cfg, disk_free=disk_free, sleep=fake_sleep,
+    )
+    stats = job.run(seeds=small_corpus["dfs"]["seeds"], max_rounds=1)
+    assert sleeps["n"] >= 3          # paused until the probe recovered
+    assert len(stats) == 1           # then ran the round normally
+    assert stats[0].scheduled > 0
+
+
+def test_x4_proxy_routing():
+    """X4 (capture.go:60-64): proxied client for every host except the
+    bypass list; no proxy configured -> always direct."""
+    from zeno_spark.operators.fetch import proxy_for_host
+
+    assert proxy_for_host("a.example", "http://proxy:3128", ("b.example",)) \
+        == "http://proxy:3128"
+    assert proxy_for_host("b.example", "http://proxy:3128", ("b.example",)) is None
+    assert proxy_for_host("a.example", None, ()) is None
+
+
+def test_fetch_missing_origin_is_native_404(spark):
+    """A scheduled URL with no origin row surfaces as a 404 result row
+    (connection-refused analogue) without entering the fetch worker."""
+    from zeno_spark import schemas
+    from zeno_spark.operators.fetch import fetch
+
+    sched = spark.createDataFrame(
+        [("i1", "http://h1.example/ok", 1, "h1.example", None, 0, "seed",
+          False, 0, 0, 1, 0, 0),
+         ("i2", "http://gone.example/x", 2, "gone.example", None, 0, "seed",
+          False, 0, 0, 2, 0, 0)],
+        schemas.FRONTIER,
+    )
+    from zeno_spark.fixtures import attach_payloads, build_metadata
+    import pandas as pd
+
+    pages_meta = pd.DataFrame(
+        {"url": ["http://h1.example/ok"], "host": ["h1.example"],
+         "image_id": [None], "w": [0], "h": [0], "fmt": [None],
+         "caption": [None], "content_type": ["text/html"], "status": [200],
+         "redirect_to": [None]}
+    )
+    pages = attach_payloads(spark, pages_meta)
+    got = {r.url: r for r in fetch(sched, pages).collect()}
+    assert got["http://h1.example/ok"].status == 200
+    assert got["http://gone.example/x"].status == 404
+    assert got["http://gone.example/x"].bytes is None

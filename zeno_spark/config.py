@@ -22,6 +22,10 @@ class CrawlConfig:
     robots: bool = False                       # F10 — north-rule addition, off for
                                                # reference-parity runs
 
+    # fetch routing (X4, capture.go:60-64, crawl/crawl.go:134-148)
+    proxy: str | None = None                   # proxied client when set
+    bypass_proxy_hosts: tuple[str, ...] = ()   # hosts fetched direct
+
     # retry / politeness (SURVEY §2.4)
     max_retry: int = 5                         # O5 (cmd/get.go:45)
     retry_backoff_rounds: int = 1              # O5: linear backoff, rounds not seconds
@@ -35,9 +39,17 @@ class CrawlConfig:
     use_seencheck: bool = True                 # D1-D7
     bloom_prefilter: bool = False              # D9 — addition; prefilter only,
                                                # exactness stays with the anti-join
+    payload_dedupe: bool = True                # D8 (crawl/crawl.go:96-99): identical
+                                               # payloads >= threshold become revisit rows
+    payload_dedupe_min_size: int = 1024        # WARC dedupe threshold (cmd/get.go:80-82)
 
     # lifecycle
-    max_rounds: int = 64                       # O8 analogue (round-count, not wall-clock)
+    max_rounds: int = 64                       # round-count cap (batch-native)
+    crawl_time_limit_sec: float | None = None  # O8 soft finish (crawl/crawl.go:60-68);
+                                               # hard kill at 1.1x (config.go:217-221)
+    min_disk_space_bytes: int = 0              # O7 pause gate (crawl/utils.go:42-57;
+                                               # reference default 20 GB); 0 = disabled
+    disk_check_interval_sec: float = 1.0       # O7 re-probe cadence while paused
     compact_every: int = 8                     # fold claimed-deletes into frontier
                                                # (Iceberg compaction stand-in)
 

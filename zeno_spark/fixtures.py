@@ -55,9 +55,13 @@ def caption_for(image_id: str) -> str:
     return " ".join(words)
 
 
-def dims_for(image_id: str) -> tuple[int, int]:
+def dims_for(image_id: str, lo: int = 16, hi: int = 64) -> tuple[int, int]:
+    """Deterministic dims in [lo, hi] px.  Tests use the default
+    thumbnail range; the bench corpus uses production-like sizes
+    (bench.py) so the decode/verify compute per page is realistic."""
     h = fnv1a64(image_id) & 0xFFFFFFFFFFFFFFFF
-    return 16 + int(h % 49), 16 + int((h >> 8) % 49)  # 16..64 px
+    span = hi - lo + 1
+    return lo + int(h % span), lo + int((h >> 8) % span)
 
 
 def _host_names(n_hosts: int) -> list[str]:
@@ -76,7 +80,8 @@ def _host_names(n_hosts: int) -> list[str]:
 
 
 def build_metadata(
-    n_pages: int = 200, n_hosts: int = 10, seed: int = 42
+    n_pages: int = 200, n_hosts: int = 10, seed: int = 42,
+    img_dims: tuple[int, int] = (16, 64),
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """(pages_meta, links, seeds) as pandas frames — no payload bytes yet."""
     rng = np.random.default_rng(seed)
@@ -138,10 +143,30 @@ def build_metadata(
         }
     )
     img_ids = pages.loc[is_image, "image_id"]
-    dims = img_ids.map(dims_for)
+    dims = img_ids.map(lambda i: dims_for(i, *img_dims))
     pages.loc[is_image, "w"] = dims.map(lambda t: t[0]).astype(np.int32)
     pages.loc[is_image, "h"] = dims.map(lambda t: t[1]).astype(np.int32)
     pages.loc[is_image, "caption"] = img_ids.map(caption_for)
+
+    # payload-duplicate tier (D8, crawl/crawl.go:96-99): ~12% of image
+    # pages serve a byte-identical payload of another image page
+    # (image_id + fmt + dims + caption aliased -> identical encode), so
+    # the sink's revisit path has real work.  Separate rng stream keeps
+    # every other draw sequence (hosts, statuses, links) unchanged.
+    rng_dup = np.random.default_rng(seed + 7919)
+    img_pos = np.flatnonzero(is_image)
+    if len(img_pos) >= 4:
+        dup_mask = rng_dup.random(len(img_pos)) < 0.12
+        dup_rows, canon_rows = img_pos[dup_mask], img_pos[~dup_mask]
+        if len(dup_rows) and len(canon_rows):
+            src = canon_rows[
+                (rng_dup.random(len(dup_rows)) * len(canon_rows)).astype(np.int64)
+            ]
+            for col in ("image_id", "fmt", "w", "h", "caption"):
+                pages.loc[dup_rows, col] = pages[col].to_numpy()[src]
+            pages.loc[dup_rows, "content_type"] = (
+                "image/" + pages["fmt"].to_numpy()[src]
+            )
 
     # ---- link graph (only 200-status html pages have bodies to parse) ----
     src_rows = html_idx[status[html_idx] == 200]
@@ -343,10 +368,11 @@ def build_corpus(
     n_pages: int = 200,
     n_hosts: int = 10,
     seed: int = 42,
+    img_dims: tuple[int, int] = (16, 64),
 ) -> dict[str, DataFrame]:
     """pages / links / seeds / robots DataFrames (robots = allow-all;
     the robots gate is a north-rule addition, SURVEY §2.2 F10)."""
-    pages_meta, links, seeds = build_metadata(n_pages, n_hosts, seed)
+    pages_meta, links, seeds = build_metadata(n_pages, n_hosts, seed, img_dims)
     pages = attach_payloads(spark, pages_meta)
     robots_rows = [(h, [], None) for h in sorted(pages_meta["host"].unique())]
     return {

@@ -58,22 +58,39 @@ FETCH_RESULT = T.StructType(
 )
 
 
-def _verify_payloads(out: pd.DataFrame) -> None:
+def _verify_payloads(out: pd.DataFrame, advertised_phash: pd.Series) -> None:
     """Decode every fetched image payload and recompute its perceptual
     hash — the WARC payload-digest step of the reference's sink
     (crawl/crawl.go:96-99) applied to the image corpus: a fetch isn't
-    'ok' until its payload decodes and its digest matches the metadata.
-    Mutates `out` in place: phash is overwritten with the recomputed
-    value; undecodable payloads get status 422."""
+    'ok' until its payload decodes AND the recomputed perceptual hash
+    agrees with the server-advertised one within the perceptual
+    tolerance (hamming <= 8 of 64: measured lossy-codec roundtrip drift
+    is <= 2 bits, corruption ~32).  Mutates `out` in place: undecodable
+    or digest-divergent payloads get status 422; phash is replaced with
+    the value recomputed from the decoded pixels.
+
+    ``advertised_phash`` arrives as a STRING series: int64 phashes
+    exceed 2^53, and a nullable int64 column crossing Arrow->pandas
+    becomes float64, silently rounding the low bits — the string
+    sidecar keeps the advertised value exact."""
     from zeno_spark.functions.images import decode_image, phash64
 
     mask = (out["status"] == 200) & out["bytes"].notna() & out["fmt"].notna()
     for i in out.index[mask]:
         try:
             px = decode_image(bytes(out.at[i, "bytes"]), out.at[i, "fmt"])
-            out.at[i, "phash"] = phash64(px)
+            recomputed = phash64(px)
         except Exception:
-            out.at[i, "status"] = 422  # fetched but payload invalid
+            out.at[i, "status"] = 422  # fetched but payload undecodable
+            continue
+        advertised = advertised_phash.at[i]
+        if (
+            isinstance(advertised, str)
+            and bin((int(advertised) ^ recomputed) & ((1 << 64) - 1)).count("1") > 8
+        ):
+            out.at[i, "status"] = 422  # payload decodes but digest disagrees
+        else:
+            out.at[i, "phash"] = recomputed
 
 
 def _effective_status(pdf: pd.DataFrame) -> pd.Series:
@@ -84,28 +101,64 @@ def _effective_status(pdf: pd.DataFrame) -> pd.Series:
     return status.astype("int32")
 
 
-def fetch(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
+def proxy_for_host(host: str, proxy: str | None, bypass: tuple[str, ...]) -> str | None:
+    """X4 routing rule (capture.go:60-64): the proxied client handles
+    every host except the bypass list; None = direct connection."""
+    if not proxy or host in bypass:
+        return None
+    return proxy
+
+
+def fetch(scheduled: DataFrame, pages: DataFrame, cfg=None) -> DataFrame:
     """Host-partitioned fetch worker.  Input: this round's scheduled
     frontier rows.  Output: FETCH_RESULT rows (one per scheduled row).
 
-    The join keys the big `pages` side by canonical url; Catalyst prunes
-    page columns to the nine we carry and (with AQE) picks SMJ/shuffled
-    hash by size.  The subsequent groupBy("host") is the politeness unit:
-    one Arrow batch per host = one worker's fetch queue.
+    Plan discipline — PAYLOAD BYTES NEVER SHUFFLE: the scheduled set
+    (bounded by budget*hosts per round) broadcasts onto the big `pages`
+    side, so page bodies stream straight out of the corpus scan/cache.
+    When the caller lays `pages` out partitioned by host (bench/
+    run_crawl do), the broadcast join preserves that partitioning and
+    the politeness groupBy("host") needs NO exchange at all — the whole
+    fetch stage is scan -> probe -> Arrow batch per host.  URLs with no
+    origin row skip the worker entirely and surface as native 404 rows
+    (connection-refused analogue; they hold no payload, so the tiny
+    anti-join + union costs nothing).
+
+    In a REAL deployment none of this join exists — the worker performs
+    the network fetch for its host batch — so the sandbox scaffolding
+    deliberately keeps payload movement off the measured plan, exactly
+    like production.
     """
     page_side = pages.select(
         F.col("url").alias("__page_url"),
         F.col("status").alias("__page_status"),
+        # string sidecar: int64 > 2^53 survives Arrow->pandas exactly
+        F.col("phash").cast("string").alias("__adv_phash"),
         *_PAGE_COLS,
     )
-    joined = scheduled.join(
-        page_side, scheduled["url"] == page_side["__page_url"], "left"
+    sched_b = F.broadcast(scheduled)
+    matched = page_side.join(
+        sched_b, page_side["__page_url"] == sched_b["url"], "inner"
     ).drop("__page_url")
+    # X4: per-row proxy routing, native when-chain (no dataflow impact;
+    # the worker's HTTP client picks the connection per batch)
+    if cfg is not None and getattr(cfg, "proxy", None):
+        matched = matched.withColumn(
+            "__proxy",
+            F.when(
+                F.col("host").isin(*cfg.bypass_proxy_hosts)
+                if cfg.bypass_proxy_hosts else F.lit(False),
+                F.lit(None).cast("string"),
+            ).otherwise(F.lit(cfg.proxy)),
+        )
+    else:
+        matched = matched.withColumn("__proxy", F.lit(None).cast("string"))
 
     def _worker(pdf: pd.DataFrame) -> pd.DataFrame:
         # A real deployment issues rate-limited async HTTP here, honoring
         # crawl_delay for the host; the response fields below would come
-        # off the wire instead of the pre-joined page columns.
+        # off the wire instead of the pre-joined page columns, routed
+        # through pdf["__proxy"] (None = direct) per X4.
         out = pdf[_CARRY + _PAGE_COLS].copy()
         out["status"] = _effective_status(pdf)
         # nullable dtypes so Arrow maps NA -> null (not NaN-in-int errors)
@@ -120,10 +173,33 @@ def fetch(scheduled: DataFrame, pages: DataFrame) -> DataFrame:
         out.loc[failed, ["w", "h", "phash"]] = pd.NA
         # a 200 never re-redirects; keep redirect_to only on 3xx rows
         out.loc[~out["status"].between(300, 399), "redirect_to"] = None
-        _verify_payloads(out)
+        _verify_payloads(out, pdf["__adv_phash"])
         return out
 
-    return joined.groupBy("host").applyInPandas(_worker, schema=FETCH_RESULT)
+    fetched_matched = matched.groupBy("host").applyInPandas(
+        _worker, schema=FETCH_RESULT
+    )
+    # scheduled rows with no origin row -> 404, built natively (the
+    # matched url set is <= |scheduled|, so it broadcasts back cheaply)
+    missing = scheduled.join(
+        F.broadcast(matched.select(F.col("url").alias("__mu"))),
+        scheduled["url"] == F.col("__mu"),
+        "left_anti",
+    )
+    missing_rows = missing.select(
+        *_CARRY,
+        F.lit(None).cast("string").alias("image_id"),
+        F.lit(None).cast("binary").alias("bytes"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+        F.lit(None).cast("string").alias("fmt"),
+        F.lit(None).cast("string").alias("caption"),
+        F.lit(None).cast("long").alias("phash"),
+        F.lit(None).cast("string").alias("content_type"),
+        F.lit(None).cast("string").alias("redirect_to"),
+        F.lit(404).cast("int").alias("status"),
+    )
+    return fetched_matched.unionByName(missing_rows)
 
 
 def split_results(results: DataFrame):
@@ -140,11 +216,78 @@ def split_results(results: DataFrame):
     return ok, redirects, failed_429, dead
 
 
+def mark_payload_revisits(
+    ok: DataFrame, prior_fetched: DataFrame, min_size: int
+) -> DataFrame:
+    """D8 — WARC payload dedupe (crawl/crawl.go:96-99, threshold
+    cmd/get.go:80-82): a payload whose sha256 digest was already sunk
+    (earlier round, or earlier in this batch by deterministic
+    (enqueue_seq, url_hash, url) order) becomes a REVISIT row — metadata
+    and digest kept, bytes dropped.  Payloads under ``min_size`` are
+    exempt, like the reference's 1024-byte threshold.
+
+    Scale shape: digest is computed once per row (codegen sha2); the
+    in-batch keep-first is a narrow digest->min(key) aggregate whose
+    winners broadcast back onto the rows; the cross-round check
+    semi-joins the fetched table's digest column (column-pruned scan)
+    down to this round's digests before broadcasting.  Payload bytes
+    never enter a shuffle."""
+    digest = F.when(
+        F.col("bytes").isNotNull() & (F.length("bytes") >= min_size),
+        F.sha2(F.col("bytes"), 256),
+    )
+    df = ok.withColumn("payload_digest", digest)
+    # Plan discipline: PAYLOAD BYTES NEVER SHUFFLE.  The in-batch winner
+    # per digest is a narrow aggregate over (digest, ordering key) — the
+    # shuffle carries 64-char digests + 3 key columns; winners (one row
+    # per distinct digest this round) broadcast back onto the full rows.
+    key = F.struct(F.col("enqueue_seq"), F.col("url_hash"), F.col("url"))
+    winners = (
+        df.filter(F.col("payload_digest").isNotNull())
+        .groupBy("payload_digest")
+        .agg(F.min(key).alias("__w"))
+    )
+    # cross-round check: semi-join the (narrow) prior digest column down
+    # to this round's digests first, so the broadcast side stays bounded
+    # by the round size no matter how large the fetched table grows
+    prior = (
+        prior_fetched.filter(F.col("payload_digest").isNotNull())
+        .select("payload_digest")
+        .join(winners.select("payload_digest"), "payload_digest", "left_semi")
+        .distinct()
+        .withColumn("__prior", F.lit(True))
+    )
+    df = (
+        df.join(F.broadcast(winners), "payload_digest", "left")
+        .join(F.broadcast(prior), "payload_digest", "left")
+    )
+    revisit = F.col("payload_digest").isNotNull() & (
+        F.coalesce(F.col("__prior"), F.lit(False)) | (key != F.col("__w"))
+    )
+    return (
+        df.withColumn("revisit", F.coalesce(revisit, F.lit(False)))
+        .withColumn(
+            "bytes",
+            F.when(F.col("revisit"), F.lit(None).cast("binary")).otherwise(
+                F.col("bytes")
+            ),
+        )
+        .drop("__w", "__prior")
+    )
+
+
 def to_fetched_rows(ok: DataFrame, round_no: int) -> DataFrame:
     """Project fetch successes into the `fetched` sink schema (the WARC
-    replacement, SURVEY §2.1 S6)."""
+    replacement, SURVEY §2.1 S6).  Input rows carry payload_digest /
+    revisit when D8 is on; absent columns default to (null, false)."""
+    cols = set(ok.columns)
+    if "payload_digest" not in cols:
+        ok = ok.withColumn("payload_digest", F.lit(None).cast("string"))
+    if "revisit" not in cols:
+        ok = ok.withColumn("revisit", F.lit(False))
     return ok.select(
         "url", "url_hash", "host", "image_id", "bytes", "w", "h", "fmt",
         "caption", "phash", "status", "type", "hop",
         F.lit(round_no).cast("int").alias("round"),
+        "payload_digest", "revisit",
     )

@@ -67,7 +67,25 @@ class OracleResult:
     schedule: list[dict[str, list[str]]] = field(default_factory=list)
     fetched: list[tuple[int, str, str, int]] = field(default_factory=list)  # (round, url, type, hop)
     seen: set[str] = field(default_factory=set)
+    revisits: set[tuple[int, str]] = field(default_factory=set)  # D8: (round, url)
     rounds: int = 0
+
+
+def _payload_len_fn():
+    """Payload length by (image_id, fmt) — same deterministic codec the
+    corpus generator uses (fixtures.attach_payloads), memoized."""
+    from zeno_spark.functions.images import encode_image, generate_pixels
+
+    cache: dict[tuple[str, str], int] = {}
+
+    def plen(image_id: str, fmt: str, w: int, h: int) -> int:
+        key = (image_id, fmt)
+        if key not in cache:
+            px = generate_pixels(fnv1a64(image_id) & 0xFFFFFFFF, int(w), int(h))
+            cache[key] = len(encode_image(px, fmt))
+        return cache[key]
+
+    return plen
 
 
 def _admitted(url: str, host: str, cfg: CrawlConfig) -> bool:
@@ -99,6 +117,8 @@ def crawl_oracle(
 
     res = OracleResult()
     pending: list[Item] = []
+    payload_len = _payload_len_fn()
+    digests_seen: set[tuple[str, str]] = set()  # (image_id, fmt) ⇔ payload bytes
 
     # ---- seeding (S1 + D2) ----
     for line, raw in enumerate(seed_urls):
@@ -135,6 +155,7 @@ def crawl_oracle(
         sched_ids = {id(it) for it in scheduled}
         candidates: list[Item] = []
         retries: list[Item] = []
+        payload_fetches: list[Item] = []  # D8 pass after the loop
 
         for it in scheduled:
             page = page_by_url.get(it.url)
@@ -143,6 +164,12 @@ def crawl_oracle(
                 status = 200  # deterministic recovery (sandbox server)
             if status == 200:
                 res.fetched.append((round_no, it.url, it.type, it.hop))
+                if (
+                    cfg.payload_dedupe
+                    and page is not None
+                    and page.image_id is not None
+                ):
+                    payload_fetches.append(it)
                 if page is not None and page.content_type == "text/html":
                     for edge in links_by_src.get(it.url, []):
                         absu = resolve(it.url, edge.dst_url)
@@ -192,6 +219,24 @@ def crawl_oracle(
                              round_no + 1 + (it.retry + 1) * cfg.retry_backoff_rounds)
                     )
             # other statuses: dead
+
+        # D8 payload dedupe: within the round, first-wins by the same
+        # (enqueue_seq, url_hash, url) order the Spark window uses
+        # (fetch.mark_payload_revisits); across rounds, digests_seen is
+        # the fetched table's digest column.  (image_id, fmt) is payload-
+        # byte identity under the deterministic generator.
+        for it in sorted(
+            payload_fetches, key=lambda x: (x.enqueue_seq, fnv1a64(x.url), x.url)
+        ):
+            page = page_by_url[it.url]
+            if payload_len(page.image_id, page.fmt, page.w, page.h) < \
+                    cfg.payload_dedupe_min_size:
+                continue
+            key = (page.image_id, page.fmt)
+            if key in digests_seen:
+                res.revisits.add((round_no, it.url))
+            else:
+                digests_seen.add(key)
 
         # in-batch dedupe: keep min (seq, hop, type, parent) per url — the
         # same deterministic tiebreak as operators/dedup.in_batch_dedupe

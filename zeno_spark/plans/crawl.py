@@ -40,7 +40,12 @@ from zeno_spark.functions import urls as U
 from zeno_spark.operators import dedup
 from zeno_spark.operators.admission import apply_admission, apply_robots_gate
 from zeno_spark.operators.extract import extract_candidates, redirect_candidates
-from zeno_spark.operators.fetch import fetch, split_results, to_fetched_rows
+from zeno_spark.operators.fetch import (
+    fetch,
+    mark_payload_revisits,
+    split_results,
+    to_fetched_rows,
+)
 from zeno_spark.operators.schedule import (
     backoff_retry_rows,
     politeness_schedule,
@@ -66,6 +71,7 @@ class RoundStats:
     fetched_ok: int
     discovered: int
     new_after_dedup: int
+    retries: int = 0
 
 
 class CrawlJob:
@@ -77,9 +83,22 @@ class CrawlJob:
         links: DataFrame,
         cfg: CrawlConfig,
         robots: DataFrame | None = None,
+        clock=None,
+        disk_free=None,
+        sleep=None,
     ):
+        import shutil as _shutil
+        import time as _time
+
         self.spark = spark
         self.cfg = cfg
+        # injectable probes for the O7/O8 lifecycle guards (tests pass
+        # fakes; production uses the real clock / statvfs)
+        self._clock = clock or _time.monotonic
+        self._disk_free = disk_free or (
+            lambda path: _shutil.disk_usage(path).free
+        )
+        self._sleep = sleep or _time.sleep
         self.catalog = Catalog(spark, warehouse)
         self.pages = pages
         self.links = links
@@ -217,17 +236,18 @@ class CrawlJob:
         if cfg.robots and self.robots is not None:
             gated = apply_robots_gate(gated, self.robots)
         sched = politeness_schedule(gated, cfg).cache()
-        n_sched = sched.count()
 
-        if n_sched == 0:
-            stats = RoundStats(round_no, 0, 0, 0, 0)
-            self._commit_empty(round_no, stats)
-            sched.unpersist()
-            return stats
-
-        results = fetch(sched, self.pages).cache()
+        results = fetch(sched, self.pages, cfg).cache()
         ok, redirects, failed_429, _dead = split_results(results)
-        fetched_rows = to_fetched_rows(ok, round_no)
+        # D8: payload dedupe on the sink path only — the extract path
+        # reads `ok` untouched (revisit marking never changes routing)
+        if cfg.payload_dedupe:
+            sink_src = mark_payload_revisits(
+                ok, self.fetched.read(), cfg.payload_dedupe_min_size
+            )
+        else:
+            sink_src = ok
+        fetched_rows = to_fetched_rows(sink_src, round_no)
 
         ok_html = ok.filter(F.col("content_type") == "text/html")
         cand = extract_candidates(ok_html, self.links, cfg, round_no)
@@ -243,31 +263,50 @@ class CrawlJob:
         retries = backoff_retry_rows(failed_429, round_no, cfg).select(*frontier_cols)
 
         # ---- per-host lineage/counters ----
-        # pre-aggregate each (cached) source to per-host counts BEFORE
-        # the union, then pivot-sum the tiny per-host frames: the shuffle
-        # carries n_hosts*7 rows instead of every item row (measured ~4x
-        # cheaper than the tag-then-pivot form at bench scale)
-        sources = {
-            "scheduled": sched,
-            "fetched_ok": ok,
-            "fetched_err": results.filter(F.col("status") != 200),
-            "redirects": redirects,
-            "retries": retries,
-            "discovered": cand,
-            "new_after_dedup": new,
-        }
-        kinds = list(sources)
-        per_host = [
-            df.groupBy("host")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select("host", F.lit(k).alias("k"), "n")
-            for k, df in sources.items()
+        # `results` is 1:1 with `sched` (fetch emits one row per scheduled
+        # row), so one conditional-agg pass over it yields five of the
+        # seven counters; `cand`/`new` contribute the other two.  Three
+        # partial-aggregated groupBys + one tiny merge shuffle replaces
+        # the seven-groupBy + pivot form (half the stages -> half the
+        # fixed per-round latency; every shuffle carries n_hosts rows).
+        kinds = [
+            "scheduled", "fetched_ok", "fetched_err", "redirects",
+            "retries", "discovered", "new_after_dedup",
         ]
-        tagged = per_host[0]
-        for part in per_host[1:]:
-            tagged = tagged.unionByName(part)
+        is_ok = F.col("status") == 200
+        is_redir = F.col("status").between(300, 399) & F.col("redirect_to").isNotNull()
+        is_retry = (F.col("status") == 429) & (
+            F.col("retry") + 1 <= F.lit(cfg.max_retry)
+        )
+        zero = F.lit(0).cast("long")
+        res_agg = results.groupBy("host").agg(
+            F.count(F.lit(1)).alias("scheduled"),
+            F.sum(is_ok.cast("long")).alias("fetched_ok"),
+            F.sum((~is_ok).cast("long")).alias("fetched_err"),
+            F.sum(is_redir.cast("long")).alias("redirects"),
+            F.sum(is_retry.cast("long")).alias("retries"),
+        ).select(
+            "host", "scheduled", "fetched_ok", "fetched_err", "redirects",
+            "retries", zero.alias("discovered"), zero.alias("new_after_dedup"),
+        )
+        cand_agg = cand.groupBy("host").agg(
+            F.count(F.lit(1)).alias("discovered")
+        ).select(
+            "host", zero.alias("scheduled"), zero.alias("fetched_ok"),
+            zero.alias("fetched_err"), zero.alias("redirects"),
+            zero.alias("retries"), "discovered", zero.alias("new_after_dedup"),
+        )
+        new_agg = new.groupBy("host").agg(
+            F.count(F.lit(1)).alias("new_after_dedup")
+        ).select(
+            "host", zero.alias("scheduled"), zero.alias("fetched_ok"),
+            zero.alias("fetched_err"), zero.alias("redirects"),
+            zero.alias("retries"), zero.alias("discovered"), "new_after_dedup",
+        )
         metric_rows = (
-            tagged.groupBy("host").pivot("k", kinds).sum("n").na.fill(0)
+            res_agg.unionByName(cand_agg).unionByName(new_agg)
+            .groupBy("host")
+            .agg(*[F.sum(k).alias(k) for k in kinds])
             .select(
                 F.lit(round_no).cast("int").alias("round"),
                 "host",
@@ -276,32 +315,53 @@ class CrawlJob:
         ).cache()
 
         # ---- round commits (atomic marker last) ----
+        # two sequential materializing appends fill the caches (fetched
+        # -> sched+results, seen -> cand+new); the remaining three
+        # appends only re-scan caches, so they submit CONCURRENTLY from
+        # driver threads — Spark schedules them in parallel, hiding
+        # 3 jobs' fixed latency behind one.  Atomicity is unaffected:
+        # each table commits independently and the round marker (below)
+        # is still the only commit point recovery trusts.
+        from concurrent.futures import ThreadPoolExecutor
+
         self.fetched.append(fetched_rows)
         self.seen.append(
             new.select(
                 "url_hash", "url", "type", F.lit(round_no + 1).alias("round")
             )
         )
-        self.frontier.append(new.unionByName(retries))
-        self.claimed.append(
-            sched.select(_claim_key().alias("id"), F.lit(round_no).alias("round"))
-        )
-        self.metrics.append(metric_rows)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(self.frontier.append, new.unionByName(retries)),
+                pool.submit(
+                    self.claimed.append,
+                    sched.select(
+                        _claim_key().alias("id"), F.lit(round_no).alias("round")
+                    ),
+                ),
+                pool.submit(self.metrics.append, metric_rows),
+            ]
+            for f in futs:
+                f.result()
         # round totals from the (cached) per-host lineage — one small agg
         # instead of a count() job per intermediate
         totals = metric_rows.groupBy().agg(
             *[F.sum(k).alias(k) for k in kinds]
         ).collect()[0]
-        n_ok = totals["fetched_ok"] or 0
-        n_discovered = totals["discovered"] or 0
-        n_new = totals["new_after_dedup"] or 0
 
         # compaction (inside the round's commit scope: a crash before the
         # marker rolls the rewrite back with everything else)
         if cfg.compact_every and (round_no + 1) % cfg.compact_every == 0:
             self.compact()
 
-        stats = RoundStats(round_no, n_sched, n_ok, n_discovered, n_new)
+        stats = RoundStats(
+            round_no,
+            totals["scheduled"] or 0,
+            totals["fetched_ok"] or 0,
+            totals["discovered"] or 0,
+            totals["new_after_dedup"] or 0,
+            totals["retries"] or 0,
+        )
         self._commit_round(round_no, stats)
 
         sched.unpersist()
@@ -310,9 +370,6 @@ class CrawlJob:
         new.unpersist()
         metric_rows.unpersist()
         return stats
-
-    def _commit_empty(self, round_no: int, stats: RoundStats) -> None:
-        self._commit_round(round_no, stats)
 
     def compact(self) -> None:
         """Fold claimed-deletes into the frontier (Iceberg RewriteDataFiles
@@ -333,14 +390,44 @@ class CrawlJob:
         if start < 0:
             if seeds is None:
                 raise ValueError("fresh job needs a seed list")
-            self.seed(seeds)
+            pending = self.seed(seeds)
             start = 0
+        else:
+            # one-time on resume; per-round the count is maintained
+            # incrementally from the round's own lineage (every scheduled
+            # row is claimed; new ∪ retries are the only appends), so the
+            # O10 emptiness probe costs zero extra Spark jobs per round.
+            pending = self.pending_frontier().count()
         max_rounds = max_rounds or self.cfg.max_rounds
         out: list[RoundStats] = []
-        r = start
-        while r < max_rounds:
-            if self.pending_frontier().limit(1).count() == 0:
+        t_start = self._clock()
+        for r in range(start, max_rounds):
+            if pending <= 0:
                 break  # O10: queue empty -> finish (finish.go:12-24)
-            out.append(self.run_round(r))
-            r += 1
+            # O8 soft finish: stop scheduling new rounds past the crawl
+            # time limit (crawl/crawl.go:60-64); the last committed round
+            # marker is the graceful-shutdown checkpoint
+            limit = self.cfg.crawl_time_limit_sec
+            if limit is not None and self._clock() - t_start >= limit:
+                break
+            # O7: pause while free disk is below the floor
+            # (crawl/utils.go:42-57 — the reference sleeps and re-probes;
+            # identical here, with the probe injectable for tests)
+            while (
+                self.cfg.min_disk_space_bytes
+                and self._disk_free(self.catalog.warehouse)
+                < self.cfg.min_disk_space_bytes
+            ):
+                self._sleep(self.cfg.disk_check_interval_sec)
+            stats = self.run_round(r)
+            out.append(stats)
+            pending += stats.new_after_dedup + stats.retries - stats.scheduled
+            # O8 hard kill at limit * 1.1 (crawl/crawl.go:65-68 — the
+            # reference os.Exit(1)s; the batch analogue raises after the
+            # round's atomic commit, leaving a resumable checkpoint)
+            if limit is not None and self._clock() - t_start >= limit * 1.1:
+                raise TimeoutError(
+                    f"crawl exceeded hard time limit ({limit}s * 1.1); "
+                    f"resume from round {r + 1}"
+                )
         return out

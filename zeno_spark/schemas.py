@@ -120,6 +120,11 @@ FETCHED = T.StructType(
         T.StructField("type", T.StringType(), False),   # seed | asset | redirect
         T.StructField("hop", T.IntegerType(), False),
         T.StructField("round", T.IntegerType(), False),
+        # D8 payload dedupe (crawl/crawl.go:96-99): sha256 of the payload
+        # when size >= threshold; revisit rows keep metadata + digest but
+        # carry no bytes (the WARC revisit-record analogue)
+        T.StructField("payload_digest", T.StringType(), True),
+        T.StructField("revisit", T.BooleanType(), False),
     ]
 )
 

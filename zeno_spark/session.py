@@ -46,7 +46,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 2048 keeps pandas-UDF batches bounded even with ~100 KB binary
+        # payload columns (10k-row batches of such rows are ~1 GB frames)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # broadcast small dims (seen-partition blooms, robots cache, host
         # exclusion lists) aggressively; 64 MB is safe at 128 GiB driver
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
