@@ -40,16 +40,17 @@ os.environ.setdefault("ZENO_DRIVER_MEM", "24g")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# corpus scale: 2M pages/sf-unit puts the sf0.1 crawl (200k pages,
+# corpus scale: 4M pages/sf-unit puts the sf0.1 crawl (400k pages,
 # seed + 2 rounds, every-2nd-page seeds) in the COMPUTE-DOMINATED
-# regime a production frontier always runs in — thousands of core-
-# seconds of fetch/parse/expand per round vs a few seconds/round of
-# fixed commit latency — so the shipped scaling pair measures the
-# plan, not the per-round floor (the old 30k-page regime measured
-# 0.38-0.53 purely from the fixed floor).  Larger (260k+) pushes the
-# 4-slot sorts into spill at this heap and the ratio degrades for
-# memory reasons, not plan reasons.
-PAGES_PER_SF = int(os.environ.get("ZENO_BENCH_PAGES_PER_SF", "1000000"))
+# regime a production frontier always runs in — hundreds of core-
+# seconds of fetch/verify/expand per round vs ~8s/round of fixed
+# driver latency — so the shipped scaling pair measures the plan, not
+# the per-round floor (the old 30k-page regime measured 0.38-0.53
+# purely from that floor).  Corpus size no longer pressures memory:
+# payload bytes stream parquet->parquet (never cached, shuffled, or
+# pandas-echoed — operators/fetch.py), so the per-leg footprint is
+# the narrow frontier state, independent of payload volume.
+PAGES_PER_SF = int(os.environ.get("ZENO_BENCH_PAGES_PER_SF", "4000000"))
 CRAWL_ROUNDS = int(os.environ.get("ZENO_BENCH_ROUNDS", "2"))
 SEED_FRAC = int(os.environ.get("ZENO_BENCH_SEED_FRAC", "2"))
 # scaling legs per parallelism level; per-leg BEST is reported because
@@ -196,13 +197,12 @@ def bench_crawl_at(cores: int, sf: float) -> dict:
     # untimed warmup: heats codegen + Python UDF workers (the steady
     # state a long-running cluster runs in)
     _run_crawl(spark, n_pages=300, n_hosts=10, rounds=1, seed_frac=2)
-    # host layout: the fetch stage's broadcast probe preserves this
-    # partitioning, so the politeness groupBy(host) needs no exchange
-    # and payload bytes never shuffle (operators/fetch.py docstring)
-    pages = (
-        spark.read.parquet(f"{corpus_dir}/pages.parquet")
-        .repartition("host").cache()
-    )
+    # the origin corpus is NOT cached: Spark's columnar cache builder
+    # burns minutes of CPU copying/statting GB-scale BINARY columns
+    # (operators/fetch.py docstring) — the fetch probe reads the
+    # column-pruned parquet scan directly (OS page cache serves the
+    # bytes), which is also the only strategy that exists at 100 TB
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
     links = spark.read.parquet(f"{corpus_dir}/links.parquet").cache()
     n_corpus = pages.count()
     links.count()

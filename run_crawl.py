@@ -69,9 +69,10 @@ def main() -> None:
     else:
         if not (args.pages and args.links):
             ap.error("--pages/--links required without --synthetic-pages")
-        # host layout keeps payload bytes out of every per-round shuffle
+        # read the origin scan directly — never cached or repartitioned:
+        # payload bytes stay on the column-pruned parquet path
         # (operators/fetch.py plan discipline)
-        pages = spark.read.parquet(args.pages).repartition("host")
+        pages = spark.read.parquet(args.pages)
         links = spark.read.parquet(args.links)
         seeds = None
         if args.seeds:

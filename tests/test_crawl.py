@@ -374,3 +374,89 @@ def test_fetch_missing_origin_is_native_404(spark):
     assert got["http://h1.example/ok"].status == 200
     assert got["http://gone.example/x"].status == 404
     assert got["http://gone.example/x"].bytes is None
+
+
+def test_stats_api(full_run):
+    """A4 (crawl/api.go:34-110): `/` stats, `/queue` stats, and the
+    Prometheus exposition agree with the committed crawl state, served
+    end-to-end over HTTP from the driver."""
+    import json as _json
+    import urllib.request
+
+    from zeno_spark.operators.stats import (
+        crawl_stats,
+        prometheus_text,
+        queue_stats,
+        serve_api,
+    )
+
+    job, stats = full_run
+    s = crawl_stats(job, start_time=None)
+    assert s["crawled"] == job.fetched.read().count()
+    assert s["crawledSeeds"] + s["crawledAssets"] <= s["crawled"]
+    assert s["queued"] == job.pending_frontier().count()
+    assert s["rounds"] == len([x for x in stats if x.scheduled > 0])
+    assert s["frontierProcessed"] == sum(x.scheduled for x in stats)
+
+    q = queue_stats(job)
+    assert q["TotalElements"] == s["queued"]
+    assert q["MaxHostDepth"] <= q["TotalElements"]
+
+    text = prometheus_text(s, crawljob="testjob", host="h:9443")
+    assert (
+        f'zeno_downloaded_uri_count_total{{crawljob="testjob",host="h:9443"}} '
+        f'{s["crawled"]}' in text
+    )
+    assert f"zeno_queued_urls" in text
+
+    server = serve_api(job, port=19443, crawljob="testjob")
+    try:
+        with urllib.request.urlopen("http://127.0.0.1:19443/") as r:
+            root = _json.loads(r.read())
+        assert root["crawled"] == s["crawled"]
+        assert root["uptime"] is not None and root["rate"] is not None
+        with urllib.request.urlopen("http://127.0.0.1:19443/metrics") as r:
+            assert b"zeno_downloaded_uri_count_total" in r.read()
+        with urllib.request.urlopen("http://127.0.0.1:19443/queue") as r:
+            assert _json.loads(r.read())["TotalElements"] == s["queued"]
+    finally:
+        server.shutdown()
+
+
+def test_metadata_record_write(full_run):
+    """S7 (capture.go:386-389): side metadata records — e.g. yt-dlp's
+    raw JSON for a captured video — append to the `metadata` table
+    under the catalog's snapshot discipline and read back intact."""
+    import json as _json
+
+    from zeno_spark.operators.sitespecific import parse_ytdlp_video_json
+
+    job, _ = full_run
+    raw = _json.dumps({
+        "id": "vid42", "is_live": False,
+        "requested_formats": [
+            {"url": "https://cdn.example/v.mp4?x=1", "acodec": "none",
+             "vcodec": "avc1", "http_headers": {"User-Agent": "ua"}},
+        ],
+        "thumbnails": [{"url": "https://cdn.example/t.jpg"}],
+    })
+    streams, metas, headers = parse_ytdlp_video_json(raw)
+    assert streams == ["https://cdn.example/v.mp4?x=1&video_id=vid42&stream_type=video"]
+    assert metas == ["https://cdn.example/t.jpg"]
+
+    v0 = job.metadata.current_version()
+    recs = job.spark.createDataFrame(
+        [("https://youtube.com/watch?v=vid42", raw.encode())],
+        "url string, payload binary",
+    )
+    job.write_metadata_records(
+        recs, round_no=99,
+        content_type="application/json; metadata-type=ia-video; generator=yt-dlp",
+    )
+    rows = job.metadata.read().filter(F.col("round") == 99).collect()
+    assert len(rows) == 1
+    assert rows[0].record_type == "metadata"
+    assert _json.loads(bytes(rows[0].payload))["id"] == "vid42"
+    # snapshot discipline: rollback removes the side records too
+    job.metadata.rollback_to(v0)
+    assert job.metadata.read().filter(F.col("round") == 99).count() == 0

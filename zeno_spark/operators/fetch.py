@@ -5,13 +5,12 @@ Referer from the parent (capture.go:206-210), GET through the
 WARC-recording client, retry on error, linear-backoff on 429
 (capture.go:84-114), follow 3xx up to MaxRedirect (capture.go:120-178).
 
-Batch shape: the scheduled rows are host-partitioned and run through an
-``applyInPandas`` *fetch worker* — one Arrow batch per host group, which
-is where a real deployment performs the (async) HTTP calls for that
-host under its politeness budget.  In this sandbox there is no network:
-the "origin server" is the deterministic ``pages`` table, so the worker
-receives the page payload pre-joined (an equi-join on canonical url IS
-the sandbox's HTTP) and applies the response-status semantics:
+Batch shape: the scheduled rows broadcast onto the origin scan and run
+through an Arrow-batched *fetch worker* — in this sandbox there is no
+network, so the "origin server" is the deterministic ``pages`` table
+(an equi-join on canonical url IS the sandbox's HTTP) and the worker's
+only irreducibly-Python job is the payload verify (decode + perceptual
+digest).  Response-status semantics:
 
   * missing page        -> status 404 (connection-refused analogue)
   * 429 + retry >= 1    -> 200 (deterministic "server recovered", so the
@@ -19,8 +18,29 @@ the sandbox's HTTP) and applies the response-status semantics:
   * 301 w/ redirect_to  -> emits a redirect continuation row (X2):
                            same item id, same hop, redirect+1, target
                            seenchecked next round (D5), bounded by F7
-  * 200                 -> a `fetched` row (image payload + caption for
-                           image/* pages; html rows go on to extract)
+  * 200                 -> a fetch-result row (image payload + caption
+                           for image/* pages; html rows go on to extract)
+
+PLAN DISCIPLINE — payload bytes never shuffle, never enter the columnar
+cache, and never round-trip through Python:
+
+  * Spark's in-memory columnar cache builder does several full copies +
+    per-value stats + a dictionary-encoding attempt for BINARY columns —
+    measured: caching a 2 GB payload corpus burns minutes of pure CPU
+    and anti-scales with task slots.  So payload bytes are read straight
+    off the (column-pruned) parquet scan, every time they're needed, and
+    only NARROW columns are ever cached.
+  * ``fetch_meta`` produces the narrow result (everything but bytes) in
+    ONE payload pass: scan -> broadcast probe -> native status/digest
+    exprs -> ``mapInArrow`` verify worker that reads the payload column
+    zero-copy and returns only narrow columns (pandas materializes every
+    binary cell as a Python object; Arrow passes buffers — measured 7x
+    cheaper, and the pandas echo anti-scales with slots).
+  * ``attach_sink_payloads`` rejoins bytes for the sink rows with a
+    second column-pruned scan + broadcast probe (no Python at all).
+  * A real deployment has no origin table — the worker performs the
+    network fetch for its batch — so the sandbox keeps payload movement
+    off the measured plan exactly like production would.
 
 Assets (X3) need no special casing here: an asset is just a frontier row
 with type='asset' and hop=parent.hop (assets.go:109), so the fan-out is
@@ -29,7 +49,10 @@ the normal expansion path.
 
 from __future__ import annotations
 
-import pandas as pd
+from typing import Iterator
+
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -38,14 +61,14 @@ from zeno_spark import schemas
 
 # scheduled-frontier columns carried through fetch
 _CARRY = [f.name for f in schemas.FRONTIER.fields]
-_PAGE_COLS = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+_META_COLS = ["image_id", "w", "h", "fmt", "caption", "phash",
               "content_type", "redirect_to"]
 
-FETCH_RESULT = T.StructType(
+# narrow fetch result: one row per scheduled row, no payload bytes
+FETCH_META = T.StructType(
     schemas.FRONTIER.fields
     + [
         T.StructField("image_id", T.StringType(), True),
-        T.StructField("bytes", T.BinaryType(), True),
         T.StructField("w", T.IntegerType(), True),
         T.StructField("h", T.IntegerType(), True),
         T.StructField("fmt", T.StringType(), True),
@@ -54,51 +77,74 @@ FETCH_RESULT = T.StructType(
         T.StructField("content_type", T.StringType(), True),
         T.StructField("redirect_to", T.StringType(), True),
         T.StructField("status", T.IntegerType(), False),  # effective status
+        T.StructField("payload_digest", T.StringType(), True),
     ]
 )
 
+# compatibility shape (fetch() wrapper): FETCH_META + payload bytes
+FETCH_RESULT = T.StructType(
+    FETCH_META.fields + [T.StructField("bytes", T.BinaryType(), True)]
+)
 
-def _verify_payloads(out: pd.DataFrame, advertised_phash: pd.Series) -> None:
-    """Decode every fetched image payload and recompute its perceptual
-    hash — the WARC payload-digest step of the reference's sink
-    (crawl/crawl.go:96-99) applied to the image corpus: a fetch isn't
-    'ok' until its payload decodes AND the recomputed perceptual hash
-    agrees with the server-advertised one within the perceptual
-    tolerance (hamming <= 8 of 64: measured lossy-codec roundtrip drift
-    is <= 2 bits, corruption ~32).  Mutates `out` in place: undecodable
-    or digest-divergent payloads get status 422; phash is replaced with
-    the value recomputed from the decoded pixels.
+# perceptual-hash agreement bound: measured lossy-codec roundtrip drift
+# is <= 2 bits of 64; corruption ~32 (see functions/images.py)
+_PHASH_TOLERANCE = 8
 
-    ``advertised_phash`` arrives as a STRING series: int64 phashes
-    exceed 2^53, and a nullable int64 column crossing Arrow->pandas
-    becomes float64, silently rounding the low bits — the string
-    sidecar keeps the advertised value exact."""
+
+def _verify_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Arrow verify worker — the WARC payload-digest step of the
+    reference's sink (crawl/crawl.go:96-99) applied to the image corpus:
+    a fetch isn't 'ok' until its payload decodes AND the recomputed
+    perceptual hash agrees with the server-advertised one within the
+    perceptual tolerance.  Undecodable or digest-divergent payloads get
+    status 422; phash is replaced with the value recomputed from the
+    decoded pixels.
+
+    Input batches carry FETCH_META columns plus __bytes / __adv_phash;
+    output batches are FETCH_META exactly — the payload column enters
+    Python once (zero-copy Arrow buffer; per-row bytes materialize only
+    for rows actually decoded) and never goes back.
+
+    ``__adv_phash`` is a STRING sidecar: int64 phashes exceed 2^53, and
+    a nullable int64 crossing into float-happy frames silently rounds
+    the low bits — the string keeps the advertised value exact."""
     from zeno_spark.functions.images import decode_image, phash64
 
-    mask = (out["status"] == 200) & out["bytes"].notna() & out["fmt"].notna()
-    for i in out.index[mask]:
-        try:
-            px = decode_image(bytes(out.at[i, "bytes"]), out.at[i, "fmt"])
-            recomputed = phash64(px)
-        except Exception:
-            out.at[i, "status"] = 422  # fetched but payload undecodable
-            continue
-        advertised = advertised_phash.at[i]
-        if (
-            isinstance(advertised, str)
-            and bin((int(advertised) ^ recomputed) & ((1 << 64) - 1)).count("1") > 8
-        ):
-            out.at[i, "status"] = 422  # payload decodes but digest disagrees
-        else:
-            out.at[i, "phash"] = recomputed
-
-
-def _effective_status(pdf: pd.DataFrame) -> pd.Series:
-    raw = pdf["__page_status"]
-    status = raw.fillna(404).astype("int64")  # missing page = 404 analogue
-    recovered = (status == 429) & (pdf["retry"] >= 1)
-    status[recovered] = 200
-    return status.astype("int32")
+    names = [f.name for f in FETCH_META.fields]
+    for b in batches:
+        idx = {n: i for i, n in enumerate(b.schema.names)}
+        status = b.column(idx["status"]).to_numpy(zero_copy_only=False).copy()
+        phash = b.column(idx["phash"]).to_pylist()
+        bts = b.column(idx["__bytes"])
+        fmts = b.column(idx["fmt"])
+        adv = b.column(idx["__adv_phash"])
+        bts_ok = pc.is_valid(bts).to_numpy(zero_copy_only=False)
+        fmt_ok = pc.is_valid(fmts).to_numpy(zero_copy_only=False)
+        adv_ok = pc.is_valid(adv).to_numpy(zero_copy_only=False)
+        for i in range(b.num_rows):
+            if status[i] != 200 or not bts_ok[i] or not fmt_ok[i]:
+                continue
+            try:
+                px = decode_image(bts[i].as_py(), fmts[i].as_py())
+                recomputed = phash64(px)
+            except Exception:
+                status[i] = 422  # fetched but payload undecodable
+                continue
+            if adv_ok[i] and bin(
+                (int(adv[i].as_py()) ^ recomputed) & ((1 << 64) - 1)
+            ).count("1") > _PHASH_TOLERANCE:
+                status[i] = 422  # payload decodes but digest disagrees
+            else:
+                phash[i] = recomputed
+        cols = []
+        for n in names:
+            if n == "status":
+                cols.append(pa.array(status, type=pa.int32()))
+            elif n == "phash":
+                cols.append(pa.array(phash, type=pa.int64()))
+            else:
+                cols.append(b.column(idx[n]))
+        yield pa.RecordBatch.from_arrays(cols, names=names)
 
 
 def proxy_for_host(host: str, proxy: str | None, bypass: tuple[str, ...]) -> str | None:
@@ -109,76 +155,84 @@ def proxy_for_host(host: str, proxy: str | None, bypass: tuple[str, ...]) -> str
     return proxy
 
 
-def fetch(scheduled: DataFrame, pages: DataFrame, cfg=None) -> DataFrame:
-    """Host-partitioned fetch worker.  Input: this round's scheduled
-    frontier rows.  Output: FETCH_RESULT rows (one per scheduled row).
+def _proxy_col(cfg) -> F.Column:
+    """X4 as a native column (no dataflow impact; a real worker picks
+    the connection per batch from this column)."""
+    if cfg is not None and getattr(cfg, "proxy", None):
+        bypass = (
+            F.col("host").isin(*cfg.bypass_proxy_hosts)
+            if cfg.bypass_proxy_hosts
+            else F.lit(False)
+        )
+        return F.when(bypass, F.lit(None).cast("string")).otherwise(F.lit(cfg.proxy))
+    return F.lit(None).cast("string")
 
-    Plan discipline — PAYLOAD BYTES NEVER SHUFFLE: the scheduled set
-    (bounded by budget*hosts per round) broadcasts onto the big `pages`
-    side, so page bodies stream straight out of the corpus scan/cache.
-    When the caller lays `pages` out partitioned by host (bench/
-    run_crawl do), the broadcast join preserves that partitioning and
-    the politeness groupBy("host") needs NO exchange at all — the whole
-    fetch stage is scan -> probe -> Arrow batch per host.  URLs with no
-    origin row skip the worker entirely and surface as native 404 rows
-    (connection-refused analogue; they hold no payload, so the tiny
-    anti-join + union costs nothing).
 
-    In a REAL deployment none of this join exists — the worker performs
-    the network fetch for its host batch — so the sandbox scaffolding
-    deliberately keeps payload movement off the measured plan, exactly
-    like production.
-    """
+def fetch_meta(scheduled: DataFrame, pages: DataFrame, cfg=None) -> DataFrame:
+    """Narrow fetch: one FETCH_META row per scheduled row, payload bytes
+    touched exactly once (the verify worker's input) and never emitted.
+
+    The scheduled set (bounded by budget*hosts per round) broadcasts
+    onto the origin scan, so page bodies stream straight out of the
+    column-pruned parquet scan.  Status semantics and the D8 payload
+    digest are native expressions; the only Python is the decode+verify
+    in ``_verify_batches``.  URLs with no origin row skip the worker
+    entirely and surface as native 404 rows (connection-refused
+    analogue)."""
+    min_size = getattr(cfg, "payload_dedupe_min_size", 1024) if cfg else 1024
     page_side = pages.select(
         F.col("url").alias("__page_url"),
         F.col("status").alias("__page_status"),
-        # string sidecar: int64 > 2^53 survives Arrow->pandas exactly
+        F.col("bytes").alias("__bytes"),
+        # string sidecar: int64 > 2^53 survives Arrow exactly
         F.col("phash").cast("string").alias("__adv_phash"),
-        *_PAGE_COLS,
+        *_META_COLS,
     )
     sched_b = F.broadcast(scheduled)
     matched = page_side.join(
         sched_b, page_side["__page_url"] == sched_b["url"], "inner"
     ).drop("__page_url")
-    # X4: per-row proxy routing, native when-chain (no dataflow impact;
-    # the worker's HTTP client picks the connection per batch)
-    if cfg is not None and getattr(cfg, "proxy", None):
-        matched = matched.withColumn(
-            "__proxy",
-            F.when(
-                F.col("host").isin(*cfg.bypass_proxy_hosts)
-                if cfg.bypass_proxy_hosts else F.lit(False),
-                F.lit(None).cast("string"),
-            ).otherwise(F.lit(cfg.proxy)),
-        )
-    else:
-        matched = matched.withColumn("__proxy", F.lit(None).cast("string"))
 
-    def _worker(pdf: pd.DataFrame) -> pd.DataFrame:
-        # A real deployment issues rate-limited async HTTP here, honoring
-        # crawl_delay for the host; the response fields below would come
-        # off the wire instead of the pre-joined page columns, routed
-        # through pdf["__proxy"] (None = direct) per X4.
-        out = pdf[_CARRY + _PAGE_COLS].copy()
-        out["status"] = _effective_status(pdf)
-        # nullable dtypes so Arrow maps NA -> null (not NaN-in-int errors)
-        out["w"] = out["w"].astype("Int32")
-        out["h"] = out["h"].astype("Int32")
-        out["phash"] = out["phash"].astype("Int64")
-        # non-200 responses carry no payload (the WARC client still logs
-        # them; our fetched table keeps the status row with null payload)
-        failed = out["status"] != 200
-        for c in ("image_id", "bytes", "caption", "fmt"):
-            out.loc[failed, c] = None
-        out.loc[failed, ["w", "h", "phash"]] = pd.NA
-        # a 200 never re-redirects; keep redirect_to only on 3xx rows
-        out.loc[~out["status"].between(300, 399), "redirect_to"] = None
-        _verify_payloads(out, pdf["__adv_phash"])
-        return out
-
-    fetched_matched = matched.groupBy("host").applyInPandas(
-        _worker, schema=FETCH_RESULT
+    raw = F.coalesce(F.col("__page_status"), F.lit(404))
+    eff = (
+        F.when((raw == 429) & (F.col("retry") >= 1), F.lit(200))
+        .otherwise(raw)
+        .cast("int")
     )
+    failed = eff != 200
+    base = matched.select(
+        *_CARRY,
+        F.when(failed, F.lit(None).cast("string"))
+        .otherwise(F.col("image_id")).alias("image_id"),
+        F.when(failed, F.lit(None).cast("int")).otherwise(F.col("w")).alias("w"),
+        F.when(failed, F.lit(None).cast("int")).otherwise(F.col("h")).alias("h"),
+        F.when(failed, F.lit(None).cast("string"))
+        .otherwise(F.col("fmt")).alias("fmt"),
+        F.when(failed, F.lit(None).cast("string"))
+        .otherwise(F.col("caption")).alias("caption"),
+        F.when(failed, F.lit(None).cast("long"))
+        .otherwise(F.col("phash")).alias("phash"),
+        F.col("content_type"),
+        # a 200 never re-redirects; keep redirect_to only on 3xx rows
+        F.when(eff.between(300, 399), F.col("redirect_to"))
+        .otherwise(F.lit(None).cast("string")).alias("redirect_to"),
+        eff.alias("status"),
+        # D8 digest, pre-verify: identical bytes => identical digest AND
+        # identical verify outcome, so winner selection is unaffected by
+        # computing it here (and the verify worker stays out of the
+        # digest lineage — broadcasting `winners` never re-runs decode)
+        F.when(
+            ~failed
+            & F.col("__bytes").isNotNull()
+            & (F.length("__bytes") >= F.lit(min_size)),
+            F.sha2(F.col("__bytes"), 256),
+        ).alias("payload_digest"),
+        F.col("__bytes"),
+        F.col("__adv_phash"),
+        _proxy_col(cfg).alias("__proxy"),
+    )
+    verified = base.drop("__proxy").mapInArrow(_verify_batches, schema=FETCH_META)
+
     # scheduled rows with no origin row -> 404, built natively (the
     # matched url set is <= |scheduled|, so it broadcasts back cheaply)
     missing = scheduled.join(
@@ -189,7 +243,6 @@ def fetch(scheduled: DataFrame, pages: DataFrame, cfg=None) -> DataFrame:
     missing_rows = missing.select(
         *_CARRY,
         F.lit(None).cast("string").alias("image_id"),
-        F.lit(None).cast("binary").alias("bytes"),
         F.lit(None).cast("int").alias("w"),
         F.lit(None).cast("int").alias("h"),
         F.lit(None).cast("string").alias("fmt"),
@@ -198,8 +251,42 @@ def fetch(scheduled: DataFrame, pages: DataFrame, cfg=None) -> DataFrame:
         F.lit(None).cast("string").alias("content_type"),
         F.lit(None).cast("string").alias("redirect_to"),
         F.lit(404).cast("int").alias("status"),
+        F.lit(None).cast("string").alias("payload_digest"),
     )
-    return fetched_matched.unionByName(missing_rows)
+    return verified.unionByName(missing_rows)
+
+
+def attach_sink_payloads(sink_meta: DataFrame, pages: DataFrame) -> DataFrame:
+    """Rejoin payload bytes onto the (narrow, post-revisit-marking) sink
+    rows with a second column-pruned scan + broadcast probe — payload
+    bytes go parquet scan -> parquet write with no Python, no shuffle,
+    no cache.  Revisit rows keep metadata + digest but no bytes (the
+    WARC revisit-record analogue, crawl/crawl.go:96-99)."""
+    meta_b = F.broadcast(sink_meta)
+    payloads = pages.select(
+        F.col("url").alias("__p_url"), F.col("bytes").alias("__p_bytes")
+    )
+    joined = payloads.join(meta_b, F.col("__p_url") == meta_b["url"], "inner")
+    revisit = (
+        F.col("revisit") if "revisit" in sink_meta.columns else F.lit(False)
+    )
+    return joined.withColumn(
+        "bytes",
+        F.when(revisit | (F.col("status") != 200), F.lit(None).cast("binary"))
+        .otherwise(F.col("__p_bytes")),
+    ).drop("__p_url", "__p_bytes")
+
+
+def fetch(scheduled: DataFrame, pages: DataFrame, cfg=None) -> DataFrame:
+    """Compatibility wrapper: FETCH_META + payload bytes attached for
+    status-200 rows (one row per scheduled row, like the reference's
+    one response per request)."""
+    meta = fetch_meta(scheduled, pages, cfg)
+    ok = meta.filter(F.col("status") == 200)
+    rest = meta.filter(F.col("status") != 200).withColumn(
+        "bytes", F.lit(None).cast("binary")
+    )
+    return attach_sink_payloads(ok, pages).unionByName(rest)
 
 
 def split_results(results: DataFrame):
@@ -223,33 +310,32 @@ def mark_payload_revisits(
     cmd/get.go:80-82): a payload whose sha256 digest was already sunk
     (earlier round, or earlier in this batch by deterministic
     (enqueue_seq, url_hash, url) order) becomes a REVISIT row — metadata
-    and digest kept, bytes dropped.  Payloads under ``min_size`` are
-    exempt, like the reference's 1024-byte threshold.
+    and digest kept, bytes dropped at sink time.  Payloads under
+    ``min_size`` are exempt, like the reference's 1024-byte threshold.
 
-    Scale shape: digest is computed once per row (codegen sha2); the
-    in-batch keep-first is a narrow digest->min(key) aggregate whose
-    winners broadcast back onto the rows; the cross-round check
-    semi-joins the fetched table's digest column (column-pruned scan)
-    down to this round's digests before broadcasting.  Payload bytes
-    never enter a shuffle."""
-    digest = F.when(
-        F.col("bytes").isNotNull() & (F.length("bytes") >= min_size),
-        F.sha2(F.col("bytes"), 256),
-    )
-    df = ok.withColumn("payload_digest", digest)
-    # Plan discipline: PAYLOAD BYTES NEVER SHUFFLE.  The in-batch winner
-    # per digest is a narrow aggregate over (digest, ordering key) — the
-    # shuffle carries 64-char digests + 3 key columns; winners (one row
-    # per distinct digest this round) broadcast back onto the full rows.
+    Scale shape: the input is NARROW (fetch_meta precomputes the digest;
+    a bytes column, if present, gets the digest computed here and nulled
+    on revisit rows — the unit-test / standalone form).  The in-batch
+    keep-first is a digest->min(key) aggregate whose winners broadcast
+    back; the cross-round check semi-joins the fetched table's digest
+    column (column-pruned scan) down to this round's digests before
+    broadcasting, so the broadcast side stays bounded by the round size
+    no matter how large the fetched table grows."""
+    has_bytes = "bytes" in ok.columns
+    if "payload_digest" in ok.columns:
+        df = ok
+    else:
+        digest = F.when(
+            F.col("bytes").isNotNull() & (F.length("bytes") >= min_size),
+            F.sha2(F.col("bytes"), 256),
+        )
+        df = ok.withColumn("payload_digest", digest)
     key = F.struct(F.col("enqueue_seq"), F.col("url_hash"), F.col("url"))
     winners = (
         df.filter(F.col("payload_digest").isNotNull())
         .groupBy("payload_digest")
         .agg(F.min(key).alias("__w"))
     )
-    # cross-round check: semi-join the (narrow) prior digest column down
-    # to this round's digests first, so the broadcast side stays bounded
-    # by the round size no matter how large the fetched table grows
     prior = (
         prior_fetched.filter(F.col("payload_digest").isNotNull())
         .select("payload_digest")
@@ -264,16 +350,15 @@ def mark_payload_revisits(
     revisit = F.col("payload_digest").isNotNull() & (
         F.coalesce(F.col("__prior"), F.lit(False)) | (key != F.col("__w"))
     )
-    return (
-        df.withColumn("revisit", F.coalesce(revisit, F.lit(False)))
-        .withColumn(
+    out = df.withColumn("revisit", F.coalesce(revisit, F.lit(False)))
+    if has_bytes:
+        out = out.withColumn(
             "bytes",
             F.when(F.col("revisit"), F.lit(None).cast("binary")).otherwise(
                 F.col("bytes")
             ),
         )
-        .drop("__w", "__prior")
-    )
+    return out.drop("__w", "__prior")
 
 
 def to_fetched_rows(ok: DataFrame, round_no: int) -> DataFrame:

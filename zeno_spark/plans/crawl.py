@@ -6,7 +6,7 @@ rounds over snapshot-committed tables (SURVEY §3.4):
     F    = frontier snapshot minus claimed rows, not_before_round <= r
     F'   = admission gates (F1-F5, optional robots F10)     -- native filters
     S    = politeness schedule: per-host FIFO top-budget     -- window (O2-O4)
-    R    = fetch(S): host-partitioned applyInPandas workers  -- X1-X3
+    R    = fetch(S): Arrow-batched fetch/verify workers       -- X1-X3
     new  = extract(R) ∪ redirects(R) -> canonicalize -> in-batch dedupe
            -> [bloom prefilter] -> anti-join seen            -- P*, D1-D9
     commit: fetched += R.ok; seen += new; frontier += new ∪ retries;
@@ -41,7 +41,8 @@ from zeno_spark.operators import dedup
 from zeno_spark.operators.admission import apply_admission, apply_robots_gate
 from zeno_spark.operators.extract import extract_candidates, redirect_candidates
 from zeno_spark.operators.fetch import (
-    fetch,
+    attach_sink_payloads,
+    fetch_meta,
     mark_payload_revisits,
     split_results,
     to_fetched_rows,
@@ -52,7 +53,7 @@ from zeno_spark.operators.schedule import (
     schedulable,
 )
 
-_TABLES = ("frontier", "seen", "claimed", "fetched", "metrics")
+_TABLES = ("frontier", "seen", "claimed", "fetched", "metrics", "metadata")
 
 
 def _claim_key():
@@ -108,6 +109,10 @@ class CrawlJob:
         self.claimed = self.catalog.table("claimed", schemas.CLAIMED)
         self.fetched = self.catalog.table("fetched", schemas.FETCHED)
         self.metrics = self.catalog.table("metrics", schemas.METRICS)
+        # S7 side-record sink (WARC "metadata" record analogue,
+        # capture.go:386-389): site-specific captures append here via
+        # write_metadata_records; committed under the same round marker
+        self.metadata = self.catalog.table("metadata", schemas.METADATA)
         self.state_dir = os.path.join(warehouse, "_crawl_state")
         os.makedirs(self.state_dir, exist_ok=True)
 
@@ -237,7 +242,20 @@ class CrawlJob:
             gated = apply_robots_gate(gated, self.robots)
         sched = politeness_schedule(gated, cfg).cache()
 
-        results = fetch(sched, self.pages, cfg).cache()
+        # NARROW fetch result (no payload bytes) — the ONLY cacheable
+        # round intermediate.  Payload bytes never enter a cache (the
+        # columnar cache builder does several full copies + per-value
+        # stats + a dictionary attempt per BINARY cell — measured:
+        # minutes of pure CPU on a GB-scale corpus, anti-scaling with
+        # task slots), never shuffle, and never round-trip Python.
+        results = fetch_meta(sched, self.pages, cfg).cache()
+        # Materialize NOW, in one clean job, before any action whose
+        # plan broadcasts a subtree of it: Spark launches broadcast-
+        # exchange jobs concurrently ahead of the main query, and on a
+        # COLD cache each recomputes the same partitions (cache writes
+        # dedupe, compute does not).  One count() => decode runs exactly
+        # once per round; everything downstream reads the warm cache.
+        results.count()
         ok, redirects, failed_429, _dead = split_results(results)
         # D8: payload dedupe on the sink path only — the extract path
         # reads `ok` untouched (revisit marking never changes routing)
@@ -247,7 +265,11 @@ class CrawlJob:
             )
         else:
             sink_src = ok
-        fetched_rows = to_fetched_rows(sink_src, round_no)
+        # sink pass: bytes rejoin from a second column-pruned origin
+        # scan (parquet scan -> parquet write, no Python, no shuffle)
+        fetched_rows = to_fetched_rows(
+            attach_sink_payloads(sink_src, self.pages), round_no
+        )
 
         ok_html = ok.filter(F.col("content_type") == "text/html")
         cand = extract_candidates(ok_html, self.links, cfg, round_no)
@@ -315,21 +337,29 @@ class CrawlJob:
         ).cache()
 
         # ---- round commits (atomic marker last) ----
-        # two sequential materializing appends fill the caches (fetched
-        # -> sched+results, seen -> cand+new); the remaining three
-        # appends only re-scan caches, so they submit CONCURRENTLY from
-        # driver threads — Spark schedules them in parallel, hiding
-        # 3 jobs' fixed latency behind one.  Atomicity is unaffected:
-        # each table commits independently and the round marker (below)
-        # is still the only commit point recovery trusts.
+        # results.count() above already filled the sched+results caches;
+        # seen.append fills cand+new.  The remaining appends only
+        # re-scan caches, so they submit CONCURRENTLY from driver
+        # threads — Spark schedules them in parallel, hiding their fixed
+        # job latency.  Atomicity is unaffected: each table commits
+        # independently and the round marker (below) is still the only
+        # commit point recovery trusts.
         from concurrent.futures import ThreadPoolExecutor
 
-        self.fetched.append(fetched_rows)
-        self.seen.append(
-            new.select(
-                "url_hash", "url", "type", F.lit(round_no + 1).alias("round")
+        # the payload sink pass and the extract/dedupe pass share only
+        # the warm narrow `results` cache, so they overlap: the sink is
+        # scan->write IO-shaped, extract is CPU-shaped — concurrent
+        # submission hides one behind the other at >1 task slot
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(self.fetched.append, fetched_rows)
+            sa = pool.submit(
+                self.seen.append,
+                new.select(
+                    "url_hash", "url", "type", F.lit(round_no + 1).alias("round")
+                ),
             )
-        )
+            fa.result()
+            sa.result()
         with ThreadPoolExecutor(max_workers=3) as pool:
             futs = [
                 pool.submit(self.frontier.append, new.unionByName(retries)),
@@ -370,6 +400,27 @@ class CrawlJob:
         new.unpersist()
         metric_rows.unpersist()
         return stats
+
+    def write_metadata_records(
+        self,
+        records: DataFrame,
+        round_no: int,
+        record_type: str = "metadata",
+        content_type: str = "application/json",
+    ) -> int:
+        """S7 — append WARC-style side records (capture.go:386-389: the
+        reference writes yt-dlp's raw JSON as a `metadata` record next
+        to the capture).  `records` needs (url, payload) columns; the
+        append participates in the same snapshot/rollback discipline as
+        every other table (the round marker commits it)."""
+        rows = records.select(
+            "url",
+            F.lit(record_type).alias("record_type"),
+            F.lit(content_type).alias("content_type"),
+            F.col("payload").cast("binary").alias("payload"),
+            F.lit(round_no).cast("int").alias("round"),
+        )
+        return self.metadata.append(rows)
 
     def compact(self) -> None:
         """Fold claimed-deletes into the frontier (Iceberg RewriteDataFiles

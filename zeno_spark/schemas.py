@@ -129,6 +129,23 @@ FETCHED = T.StructType(
 )
 
 # ---------------------------------------------------------------------------
+# metadata — S7 side-record sink: the WARC "metadata" record analogue
+# (capture.go:386-389 writes yt-dlp's raw JSON as a metadata record with
+# content-type "application/json; metadata-type=ia-video"); any
+# site-specific capture can append side records here keyed to the
+# triggering url + round, committed under the same round marker
+# ---------------------------------------------------------------------------
+METADATA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("record_type", T.StringType(), False),  # e.g. "metadata"
+        T.StructField("content_type", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("round", T.IntegerType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
 # robots — north-rule addition (reference has none; grep robots -> 0 hits)
 # ---------------------------------------------------------------------------
 ROBOTS = T.StructType(
