@@ -208,6 +208,41 @@ def test_audio_video_stubs_are_gated(spark):
         mm.sample_video_frames(df).collect()
 
 
+def test_video_frame_sampling_y4m(spark):
+    """y4m frame sampling is REAL end-to-end: deterministic synthetic
+    videos -> every_n-th frame re-encoded as PNG, pixels matching the
+    source frames exactly (C444 grayscale survives BT.601 roundtrip)."""
+    from zeno_spark.functions.images import decode_png
+    from zeno_spark.functions.video import encode_y4m, iter_y4m_frames, video_info
+
+    def frames_for(seed: int, n: int):
+        rng = np.random.default_rng(seed)
+        out = []
+        for _ in range(n):
+            g = rng.integers(0, 256, size=(16, 20), dtype=np.uint8)
+            out.append(np.stack([g, g, g], axis=-1))  # grayscale RGB
+        return out
+
+    vids = {"vidA": frames_for(1, 7), "vidB": frames_for(2, 4)}
+    payloads = {k: encode_y4m(v, fps=25) for k, v in vids.items()}
+
+    w, h, fps, n = video_info(payloads["vidA"])
+    assert (w, h, fps, n) == (20, 16, 25.0, 7)
+    decoded = [f for _, f in iter_y4m_frames(payloads["vidA"])]
+    assert all((d == s).all() for d, s in zip(decoded, vids["vidA"]))
+
+    df = spark.createDataFrame(
+        [(k, bytearray(p), "y4m") for k, p in payloads.items()],
+        "media_id string, bytes binary, fmt string",
+    )
+    rows = mm.sample_video_frames(df, every_n=3).collect()
+    got = {(r.media_id, r.frame_idx): bytes(r.frame_bytes) for r in rows}
+    # 7 frames @ every 3rd -> 0,3,6; 4 frames -> 0,3
+    assert set(got) == {("vidA", 0), ("vidA", 3), ("vidA", 6), ("vidB", 0), ("vidB", 3)}
+    for (mid, idx), png in got.items():
+        assert (decode_png(png) == vids[mid][idx]).all()
+
+
 def test_cosine_pairs_banded_vs_exact(embeddings):
     """The production pair operator (banded sign-LSH candidates + exact
     verify) against the O(n^2) baseline: always a subset (the verify is

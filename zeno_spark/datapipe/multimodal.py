@@ -10,11 +10,13 @@ Codec reality in this container (no PIL/libjpeg/ffmpeg):
     codec in functions/images.py (the 'jpeg' rows use the documented
     stub codec, functions/images.py:10-16);
   * audio decode is REAL for WAV/PCM (stdlib wave + numpy,
-    functions/audio.py); compressed audio and video frame-sampling are
-    gated NotImplementedError stubs behind the same batch plumbing —
-    the schema, partitioning, UDF signature and batch shape are real
-    and tested; a deployment drops soundfile/ffmpeg into the marked
-    dispatch slots.
+    functions/audio.py);
+  * video frame-sampling is REAL for y4m/YUV4MPEG2 (pure-numpy
+    container parse + BT.601 conversion, functions/video.py);
+  * compressed audio/video codecs (mp3, h264, ...) are gated
+    NotImplementedError dispatch slots behind the same batch plumbing —
+    a deployment drops soundfile/ffmpeg in without touching the Spark
+    side.
 """
 
 from __future__ import annotations
@@ -122,7 +124,7 @@ def resize_images(images: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# audio / video stubs — plumbing real, codec gated
+# audio / video — WAV and y4m paths real; compressed codecs gated
 # ---------------------------------------------------------------------------
 
 AUDIO_FEATURES = T.StructType(
@@ -188,18 +190,39 @@ VIDEO_FRAMES = T.StructType(
 
 
 def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
-    """STUB frame sampler: one output row per sampled frame.  Decode is
-    gated (no ffmpeg here); the explode-shaped output schema and the
-    batch iterator are the real contract."""
+    """Frame sampler: one output row per sampled frame (every_n-th,
+    always including frame 0), frame payload re-encoded as PNG.  The
+    y4m (YUV4MPEG2) path is REAL — pure-numpy container parse + BT.601
+    conversion (functions/video.py, the WAV/PNG codec precedent);
+    compressed codecs stay gated: a deployment swaps the dispatch for
+    ffmpeg/pyav frame iteration without touching this plumbing.
+
+    Scale shape: embarrassingly parallel mapInPandas; each task holds
+    one media payload + one frame at a time (the y4m iterator is
+    offset-based, no full-frame-list materialization)."""
     src = media.select("media_id", "bytes", "fmt").filter(F.col("bytes").isNotNull())
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from zeno_spark.functions.images import encode_png
+        from zeno_spark.functions.video import iter_y4m_frames
+
         for pdf in batches:
+            rows = []
             for media_id, data, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["fmt"]):
-                raise NotImplementedError(
-                    "video decoding unavailable in-sandbox; swap in "
-                    "ffmpeg/pyav frame iteration at deployment"
-                )
-            yield pd.DataFrame(columns=[f.name for f in VIDEO_FRAMES.fields])
+                if fmt != "y4m":
+                    raise NotImplementedError(
+                        f"video codec for {fmt!r} unavailable in-sandbox; "
+                        "swap in ffmpeg/pyav frame iteration at deployment"
+                    )
+                for idx, rgb in iter_y4m_frames(bytes(data)):
+                    if idx % every_n == 0:
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_idx": idx,
+                                "frame_bytes": encode_png(rgb),
+                            }
+                        )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES.fields])
 
     return src.mapInPandas(_frames, schema=VIDEO_FRAMES)
