@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_counts": Q.q_host_counts,
         "top_hosts": Q.q_top_hosts,
         "rolling_rate": Q.q_rolling_rate,
+        "payload_revisit": Q.q_payload_revisit,
         # analytics over the star schema
         "pricing_summary": Q.q_pricing_summary,
         "revenue_topk": Q.q_revenue_topk,
@@ -113,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "host_counts": Q.q_host_counts_sql(),
         "top_hosts": Q.q_top_hosts_sql(),
         "rolling_rate": Q.q_rolling_rate_sql(),
+        "payload_revisit": Q.q_payload_revisit_sql(),
         "pricing_summary": Q.q_pricing_summary_sql(),
         "revenue_topk": Q.q_revenue_topk_sql(),
         "region_rollup": Q.q_region_rollup_sql(),

@@ -333,3 +333,55 @@ def q_region_rollup_sql() -> str:
            coalesce(n_customers, 0) AS n_customers
     FROM s FULL OUTER JOIN c USING (r_name)
     """
+
+
+def q_payload_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 — the crawl sink's payload-revisit dedupe, run as the REAL
+    operator (operators/fetch.py:mark_payload_revisits, the WARC
+    revisit analogue of crawl/crawl.go:96-99) over the documents table:
+    payload digest = sha256 of the UTF-8 text when >= 64 bytes (the
+    reference's 1024-byte threshold scaled to this corpus), winner =
+    lexicographic keep-first, later identical payloads marked revisit.
+    Duplicates are synthesized deterministically (every doc with
+    n_chars % 7 == 0 re-emitted under an aliased id) so the revisit
+    branch carries real rows."""
+    from zeno_spark.operators.fetch import mark_payload_revisits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "doc_id", F.col("doc_id").cast("string")
+    )
+    dups = docs.filter(F.col("n_chars") % 7 == 0).withColumn(
+        "doc_id", F.concat(F.col("doc_id"), F.lit("~dup"))
+    )
+    ok = docs.unionByName(dups).select(
+        F.col("doc_id").alias("url"),
+        F.lit(0).cast("long").alias("url_hash"),
+        F.lit(0).cast("long").alias("enqueue_seq"),
+        F.col("text").cast("binary").alias("bytes"),
+    )
+    prior = spark.createDataFrame([], "payload_digest string")
+    out = mark_payload_revisits(ok, prior, min_size=64)
+    return out.select(
+        F.col("url").alias("doc_id"), "payload_digest", "revisit"
+    )
+
+
+def q_payload_revisit_sql() -> str:
+    return """
+    WITH src AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id || '~dup', text FROM documents WHERE n_chars % 7 = 0),
+    d AS (
+      SELECT doc_id,
+             CASE WHEN octet_length(CAST(text AS BLOB)) >= 64
+                  THEN sha256(text) END AS payload_digest
+      FROM src),
+    w AS (
+      SELECT payload_digest, min(doc_id) AS winner
+      FROM d WHERE payload_digest IS NOT NULL GROUP BY 1)
+    SELECT d.doc_id, d.payload_digest,
+           coalesce(d.payload_digest IS NOT NULL AND d.doc_id <> w.winner,
+                    FALSE) AS revisit
+    FROM d LEFT JOIN w USING (payload_digest)
+    """
