@@ -239,3 +239,37 @@ def test_route_extract_dispatches_ina_branches():
             'poster="https://m.ina.fr/p.jpg"></div></body></html>')
     _, assets = route_extract("https://www.ina.fr/video/I1", "text/html", html)
     assert "https://m.ina.fr/p.jpg" in assets
+
+
+def test_sitespecific_candidates_in_round_shape(spark):
+    """§2.7 wiring: derived capture URLs from fetched rows enter the
+    candidate pipeline as asset rows with the parent's hop (the batch
+    analogue of capture.go's CaptureWithURL recursion); non-matching
+    rows expand to nothing."""
+    from pyspark.sql import functions as F
+
+    from zeno_spark.config import CrawlConfig
+    from zeno_spark.operators.extract import sitespecific_candidates
+
+    ok = spark.createDataFrame(
+        [
+            ("https://truthsocial.com/@user/posts/112233445566778899", 2),
+            ("https://traffic.libsyn.com/show/ep1.mp3", 1),
+            ("http://plain.example/page", 0),
+        ],
+        "url string, hop int",
+    )
+    cand = sitespecific_candidates(ok, CrawlConfig(), round_no=4)
+    rows = cand.collect()
+    by_url = {r.url: r for r in rows}
+    api = "https://truthsocial.com/api/v1/statuses/112233445566778899"
+    assert api in by_url
+    assert by_url[api].hop == 2 and by_url[api].type == "asset"
+    assert by_url[api].discovered_round == 5
+    cdn = "https://traffic.libsyn.com/secure/force-cdn/highwinds/show/ep1.mp3"
+    assert cdn in by_url and by_url[cdn].hop == 1
+    assert not any("plain.example" in u for u in by_url)
+    # FRONTIER-shaped: usable directly by the dedupe/enqueue pipeline
+    from zeno_spark import schemas
+
+    assert set(cand.columns) == {f.name for f in schemas.FRONTIER.fields}

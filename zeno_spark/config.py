@@ -39,6 +39,9 @@ class CrawlConfig:
     use_seencheck: bool = True                 # D1-D7
     bloom_prefilter: bool = False              # D9 — addition; prefilter only,
                                                # exactness stays with the anti-join
+    sitespecific_expand: bool = True           # §2.7 derived-capture rewrites
+                                               # (capture.go:213-315) as extra
+                                               # asset candidates per round
     payload_dedupe: bool = True                # D8 (crawl/crawl.go:96-99): identical
                                                # payloads >= threshold become revisit rows
     payload_dedupe_min_size: int = 1024        # WARC dedupe threshold (cmd/get.go:80-82)

@@ -132,6 +132,54 @@ def extract_candidates(
     return gated.filter(admission_predicate(cfg))
 
 
+def sitespecific_candidates(
+    ok: DataFrame, cfg: CrawlConfig, round_no: int
+) -> DataFrame:
+    """§2.7 — derived capture URLs (truthsocial API, facebook embed,
+    libsyn CDN, telegram embed, ...) for this round's fetched rows,
+    shaped as asset frontier candidates: hop = parent.hop (a derived
+    capture is part of the same item, capture.go:213-315), seenchecked
+    and admission-gated like any discovered URL.  The rewrite itself is
+    all native columns (sitespecific.expansion_urls); rows not matching
+    any branch expand to nothing, so on corpora without these hosts the
+    operator is a no-op by construction."""
+    from zeno_spark.operators import sitespecific as ss
+
+    pairs = ss.expansion_urls(
+        ok.select("url", F.col("hop").alias("parent_hop")),
+        carry=("parent_hop",),
+    )
+    resolved = (
+        pairs.withColumn(
+            "__e", U.enrich_url_udf(F.col("parent_url"), F.col("url"))
+        )
+        .filter(F.col("__e.url").isNotNull())
+        .drop("url")
+    )
+    cand = resolved.select(
+        F.sha1(
+            F.concat_ws("|", F.lit(round_no), F.col("__e.url"))
+        ).alias("id"),
+        F.col("__e.url").alias("url"),
+        F.col("__e.url_hash").alias("url_hash"),
+        F.col("__e.host").alias("host"),
+        "parent_url",
+        F.col("parent_hop").cast("int").alias("hop"),
+        F.lit("asset").alias("type"),
+        F.lit(False).alias("bypass_seencheck"),
+        F.lit(0).alias("redirect"),
+        F.lit(0).alias("retry"),
+        discovered_seq(
+            F.lit(round_no + 1), F.col("__e.url_hash")
+        ).alias("enqueue_seq"),
+        F.lit(round_no + 1).cast("int").alias("discovered_round"),
+        F.lit(round_no + 1).cast("int").alias("not_before_round"),
+    )
+    return cand.filter(
+        self_reference_guard(F.col("url"), F.col("parent_url"))
+    ).filter(admission_predicate(cfg))
+
+
 def redirect_candidates(
     redirects: DataFrame, cfg: CrawlConfig, round_no: int
 ) -> DataFrame:

@@ -379,13 +379,17 @@ def capture_ina(url: str):
 _TS_POST_SQL = r"^https?://truthsocial\.com/@[A-Za-z0-9_]+/posts/[0-9]+$"
 
 
-def expansion_urls(frontier: DataFrame, url_col: str = "url") -> DataFrame:
+def expansion_urls(
+    frontier: DataFrame, url_col: str = "url", carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Derived capture URLs for this batch — one row per (parent url,
-    derived url, branch).  Entirely native column expressions (regexes,
-    splits, concats -> codegen); at 100 TB this is a narrow map with no
-    shuffle.  The caller routes the output through the normal
-    candidate pipeline (canonicalize -> dedupe -> enqueue), which is
-    exactly what capture.go's CaptureWithURL recursion achieves."""
+    derived url, branch), plus any ``carry`` columns passed through
+    (e.g. the parent's hop for frontier shaping).  Entirely native
+    column expressions (regexes, splits, concats -> codegen); at 100 TB
+    this is a narrow map with no shuffle.  The caller routes the output
+    through the normal candidate pipeline (canonicalize -> dedupe ->
+    enqueue), which is exactly what capture.go's CaptureWithURL
+    recursion achieves."""
     url = F.col(url_col)
     is_ts = url.rlike(_TS_POST_SQL)
     ts_api = F.concat(
@@ -430,8 +434,13 @@ def expansion_urls(frontier: DataFrame, url_col: str = "url") -> DataFrame:
         is_tg, F.array(F.struct(tg_embed.alias("u"), F.lit("telegram").alias("branch")))
     ).otherwise(F.array().cast("array<struct<u:string,branch:string>>"))
     return (
-        frontier.select(url.alias("parent_url"), F.explode(derived).alias("d"))
-        .select("parent_url", F.col("d.u").alias("url"), F.col("d.branch").alias("branch"))
+        frontier.select(
+            url.alias("parent_url"), *carry, F.explode(derived).alias("d")
+        )
+        .select(
+            "parent_url", *carry,
+            F.col("d.u").alias("url"), F.col("d.branch").alias("branch"),
+        )
     )
 
 

@@ -39,7 +39,11 @@ from zeno_spark.config import CrawlConfig
 from zeno_spark.functions import urls as U
 from zeno_spark.operators import dedup
 from zeno_spark.operators.admission import apply_admission, apply_robots_gate
-from zeno_spark.operators.extract import extract_candidates, redirect_candidates
+from zeno_spark.operators.extract import (
+    extract_candidates,
+    redirect_candidates,
+    sitespecific_candidates,
+)
 from zeno_spark.operators.fetch import (
     attach_sink_payloads,
     fetch_meta,
@@ -274,6 +278,11 @@ class CrawlJob:
         ok_html = ok.filter(F.col("content_type") == "text/html")
         cand = extract_candidates(ok_html, self.links, cfg, round_no)
         cand = cand.unionByName(redirect_candidates(redirects, cfg, round_no))
+        if cfg.sitespecific_expand:
+            # §2.7 derived captures (API/embed/CDN rewrites) join the
+            # same candidate pipeline; a no-op on corpora without the
+            # matching hosts (native when-chain expands to empty)
+            cand = cand.unionByName(sitespecific_candidates(ok, cfg, round_no))
         cand = cand.cache()
 
         in_batch = dedup.in_batch_dedupe(cand)
