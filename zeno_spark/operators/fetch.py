@@ -168,6 +168,19 @@ def _proxy_col(cfg) -> F.Column:
     return F.lit(None).cast("string")
 
 
+def _headers_col(cfg) -> F.Column:
+    """§2.7 request decoration (capture.go:213-238: tiktok / vk
+    browser-mimic headers, reddit consent cookies) as a native per-row
+    map column — the real worker sends these with the request; the
+    sandbox worker has no wire to put them on, so the column is
+    dropped before the verify stage like ``__proxy``."""
+    if cfg is not None and getattr(cfg, "sitespecific_expand", False):
+        from zeno_spark.operators.sitespecific import request_headers_col
+
+        return request_headers_col("url")
+    return F.lit(None).cast("map<string,string>")
+
+
 def fetch_meta(scheduled: DataFrame, pages: DataFrame, cfg=None) -> DataFrame:
     """Narrow fetch: one FETCH_META row per scheduled row, payload bytes
     touched exactly once (the verify worker's input) and never emitted.
@@ -230,8 +243,11 @@ def fetch_meta(scheduled: DataFrame, pages: DataFrame, cfg=None) -> DataFrame:
         F.col("__bytes"),
         F.col("__adv_phash"),
         _proxy_col(cfg).alias("__proxy"),
+        _headers_col(cfg).alias("__headers"),
     )
-    verified = base.drop("__proxy").mapInArrow(_verify_batches, schema=FETCH_META)
+    verified = base.drop("__proxy", "__headers").mapInArrow(
+        _verify_batches, schema=FETCH_META
+    )
 
     # scheduled rows with no origin row -> 404, built natively (the
     # matched url set is <= |scheduled|, so it broadcasts back cheaply)
