@@ -409,15 +409,16 @@ def test_stats_api(full_run):
     )
     assert f"zeno_queued_urls" in text
 
-    server = serve_api(job, port=19443, crawljob="testjob")
+    server = serve_api(job, port=0, crawljob="testjob")  # ephemeral port
+    base = f"http://127.0.0.1:{server.server_address[1]}"
     try:
-        with urllib.request.urlopen("http://127.0.0.1:19443/") as r:
+        with urllib.request.urlopen(f"{base}/") as r:
             root = _json.loads(r.read())
         assert root["crawled"] == s["crawled"]
         assert root["uptime"] is not None and root["rate"] is not None
-        with urllib.request.urlopen("http://127.0.0.1:19443/metrics") as r:
+        with urllib.request.urlopen(f"{base}/metrics") as r:
             assert b"zeno_downloaded_uri_count_total" in r.read()
-        with urllib.request.urlopen("http://127.0.0.1:19443/queue") as r:
+        with urllib.request.urlopen(f"{base}/queue") as r:
             assert _json.loads(r.read())["TotalElements"] == s["queued"]
     finally:
         server.shutdown()
