@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_embs(s, d)),
         "dedup_embedding": lambda s, d: sim.cosine_pairs(_embs(s, d)),
         "ann_lsh_topk": lambda s, d: sim.lsh_ann_topk(_embs(s, d)),
+        "ann_ivf_topk": lambda s, d: sim.ivf_topk(_embs(s, d)),
     }
 
 
@@ -133,4 +134,7 @@ def oracle_sql() -> dict[str, str]:
         # deterministic plan (signature/probes/re-rank are pure
         # expressions), so an exact oracle exists despite "ANN"
         "ann_lsh_topk": sim.lsh_ann_topk_sql(),
+        # IVF coarse-quantizer tier: centroid pick / assignment / probe
+        # are pure expressions too -> exact oracle
+        "ann_ivf_topk": sim.ivf_topk_sql(),
     }

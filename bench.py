@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dedup_embedding",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 

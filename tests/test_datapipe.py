@@ -141,6 +141,20 @@ def test_lsh_ann_recall_against_brute_force(embeddings):
     assert recall >= 0.5, f"LSH ANN recall too low: {recall}"
 
 
+def test_ivf_ann_recall_against_brute_force(embeddings):
+    """IVF with nlist=8 cells / nprobe=2 on the 8-cluster fixture: a
+    query's true neighbors are same-cluster vectors, which assign to the
+    same (or adjacent) coarse cell the query probes first — recall must
+    recover well over half of the true top-k."""
+    k = 3
+    brute = sim.cosine_topk(embeddings, n_queries=8, k=k).collect()
+    approx = sim.ivf_topk(embeddings, n_queries=8, k=k, nlist=8, nprobe=2).collect()
+    btop = {(r.query_id, r.neighbor_id) for r in brute}
+    atop = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(btop & atop) / len(btop)
+    assert recall >= 0.5, f"IVF ANN recall too low: {recall}"
+
+
 def test_image_features_decode_roundtrip(spark):
     from zeno_spark.functions.images import encode_image, generate_pixels
 

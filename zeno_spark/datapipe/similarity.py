@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 DIM = 64
 N_PLANES = 12      # LSH signature bits
+IVF_NLIST = 16     # IVF coarse cells (production: ~sqrt(n), k-means)
+IVF_NPROBE = 4     # cells probed per query
 COS_PAIR_TAU = 0.4  # near-dup threshold for this corpus (max cos ~0.51)
 PAIR_BANDS = 6     # cosine_pairs: 6 bands x 2 bits of the signature
 
@@ -339,6 +341,173 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-partitioned ANN top-k (the coarse-quantizer tier next to the
+    sign-LSH tier): the corpus is partitioned into ``nlist`` cells by
+    nearest coarse centroid, a query probes its ``nprobe`` closest cells,
+    and only vectors in probed cells get the exact cosine re-rank.
+    Output: query_id, neighbor_id, rank — same contract as the other
+    top-k operators.
+
+    Centroids here are a DETERMINISTIC data sample — the ``nlist``
+    corpus vectors with the smallest Knuth-hash of vec_id (the slot a
+    production build fills with k-means output; sampled seeds are the
+    standard k-means init, so the structure is identical).  Everything
+    downstream is a pure expression, so an exact DuckDB oracle exists
+    (ivf_topk_sql) despite the operator being "approximate" vs brute
+    force — approximation error is recall (measured in tests), not
+    nondeterminism.
+
+    100 TB plan shape: centroids are tiny (nlist rows) -> broadcast;
+    cell ASSIGNMENT is one narrow map over the corpus (broadcast
+    nested-loop against nlist rows + a per-vector argmax window keyed by
+    vec_id — partition-local after a hash on vec_id, which the writer
+    then reuses to bucket the index by `cell`).  The QUERY path touches
+    only nprobe/nlist of the corpus: with the index table written
+    partitioned by cell (repartition(cell) at build), cell pruning makes
+    the probe join a partition-pruned scan, the IVF property that makes
+    this the production path at 10^9+ vectors.
+    """
+    from pyspark.sql import Window
+
+    corpus = _with_norm2(embeddings.select("vec_id", "embedding"), "n2")
+    cent_key = F.expr("(cast(vec_id as bigint) * 2654435761) % 4294967296")
+    cent = (
+        corpus.orderBy(cent_key.asc(), F.col("vec_id").asc())
+        .limit(nlist)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("n2").alias("c_n2"),
+        )
+    )
+    cos_to_cent = (
+        F.expr(_DOT.format(a="embedding", b="c_emb"))
+        / (F.sqrt(F.col("n2")) * F.sqrt(F.col("c_n2")))
+    ).alias("ccos")
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "n2", "centroid_id", cos_to_cent)
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "embedding", "n2", F.col("centroid_id").alias("cell"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        corpus.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("n2").alias("q_n2"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "q_emb", "q_n2", "centroid_id",
+            (
+                F.expr(_DOT.format(a="q_emb", b="c_emb"))
+                / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("c_n2")))
+            ).alias("ccos"),
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            "query_id", "q_emb", "q_n2", F.col("centroid_id").alias("p_cell")
+        )
+    )
+    # each corpus vector lives in exactly ONE cell and a query's probe
+    # cells are distinct -> no duplicate (query, neighbor) rows, no
+    # dedupe shuffle needed (unlike multi-probe LSH)
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, F.col("p_cell") == F.col("cell"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                F.expr(_DOT.format(a="q_emb", b="embedding"))
+                / (F.sqrt(F.col("q_n2")) * F.sqrt(F.col("n2")))
+            ).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    n_queries: int = 20,
+    k: int = 5,
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    """Exact DuckDB oracle for ivf_topk: identical centroid pick
+    (Knuth-hash order), identical argmax assignment, identical probe
+    set, IEEE-identical cosine tree."""
+    a_dot = _DOT_SQL.format(a="t.embedding", b="c.c_emb")
+    a_tn2 = _NORM2_SQL.format(e="t.embedding")
+    a_cn2 = _NORM2_SQL.format(e="c.c_emb")
+    q_dot = _DOT_SQL.format(a="q.embedding", b="c.c_emb")
+    q_qn2 = _NORM2_SQL.format(e="q.embedding")
+    s_dot = _DOT_SQL.format(a="p.q_emb", b="v.embedding")
+    s_qn2 = _NORM2_SQL.format(e="p.q_emb")
+    s_vn2 = _NORM2_SQL.format(e="v.embedding")
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS c_emb
+      FROM {table}
+      ORDER BY (vec_id::BIGINT * 2654435761) % 4294967296, vec_id
+      LIMIT {nlist}),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT t.vec_id, t.embedding, c.centroid_id AS cell,
+               row_number() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY {a_dot} / (sqrt({a_tn2}) * sqrt({a_cn2})) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM {table} t CROSS JOIN cent c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, q_emb, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_emb,
+               c.centroid_id AS cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {q_dot} / (sqrt({q_qn2}) * sqrt({a_cn2})) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM {table} q CROSS JOIN cent c
+        WHERE q.vec_id < {n_queries})
+      WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT p.query_id, v.vec_id AS neighbor_id,
+             {s_dot} / (sqrt({s_qn2}) * sqrt({s_vn2})) AS cos
+      FROM probes p JOIN assigned v ON v.cell = p.cell
+      WHERE v.vec_id != p.query_id)
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS "rank"
+    FROM scored
+    QUALIFY "rank" <= {k}
+    """
 
 
 def lsh_ann_topk_sql(
