@@ -50,6 +50,45 @@ def test_jaccard_pairs_find_near_dups(docs):
     assert not any(5 in p or 6 in p for p in pairs)
 
 
+def test_jaccard_prefix_filter_equals_allpairs(spark):
+    """jaccard_pairs' prefix-filtered plan must return EXACTLY the naive
+    all-pairs self-join's rows (the prefix-filter theorem), including
+    n_inter/n_union values, across thresholds — on a corpus with dup
+    clusters, partial overlaps, skewed token dfs, and singletons."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(120)]
+    rows = []
+    for i in range(60):
+        if i % 3 == 1:
+            # near-dup of the previous doc: drop/replace a couple words
+            base = rows[-1][1].split(" ")
+            k = rng.integers(1, 3)
+            for _ in range(k):
+                base[rng.integers(0, len(base))] = vocab[rng.integers(0, 120)]
+            rows.append((i, " ".join(base)))
+        else:
+            n = int(rng.integers(3, 18))
+            toks = list(rng.choice(vocab[: 40 if i % 5 else 120], size=n))
+            rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    for t_num, t_den in ((1, 2), (7, 10), (9, 10)):
+        got = {
+            (r.doc_a, r.doc_b, r.n_inter, r.n_union)
+            for r in dd.jaccard_pairs(df, t_num=t_num, t_den=t_den).collect()
+        }
+        ref = {
+            (r.doc_a, r.doc_b, r.n_inter, r.n_union)
+            for r in dd.jaccard_pairs_allpairs(
+                df, t_num=t_num, t_den=t_den
+            ).collect()
+        }
+        assert got == ref, (
+            f"prefix filter diverged at t={t_num}/{t_den}: "
+            f"missing={ref - got} extra={got - ref}"
+        )
+    df.unpersist()
+
+
 def test_minhash_lsh_subset_of_exact_and_finds_dups(docs):
     exact = {
         (r.doc_a, r.doc_b) for r in dd.jaccard_pairs(docs, t_num=7, t_den=10).collect()
