@@ -72,9 +72,15 @@ BENCH_QUERIES = [
     "inbatch_first",
     "admission_filter",
     "host_counts",
+    "top_hosts",
     "rolling_rate",
+    "payload_revisit",
     "pricing_summary",
     "revenue_topk",
+    "region_rollup",
+    "doc_token_stats",
+    "doc_quality",
+    "doc_langid",
     "dedup_exact",
     "doc_fingerprint",
     "doc_minhash",

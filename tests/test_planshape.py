@@ -1,0 +1,92 @@
+"""Physical-plan regression guards: the scale properties the operators
+claim (no cartesian pair generation, broadcasts on small sides, filter
+pushdown into the parquet scans) asserted from `.explain()` output, so
+a refactor that silently degrades the plan fails loudly — even though
+small-corpus results would still be correct.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from zeno_spark.datapipe import dedup as dd
+from zeno_spark.datapipe import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_pair_operators_never_cartesian(docs, embs):
+    """Every pair-finding operator generates candidates with equi-joins
+    (posting/band/block/cell keys) — a CartesianProduct anywhere means
+    the quadratic fallback snuck back in."""
+    for df in (
+        dd.jaccard_pairs(docs),
+        dd.minhash_lsh_pairs(docs),
+        dd.simhash_pairs(docs),
+        sim.cosine_pairs(embs),
+    ):
+        assert "CartesianProduct" not in _plan(df)
+
+
+def test_ann_plans_broadcast_the_small_side(embs):
+    """Top-k plans: the tiny side (queries / centroids / probes) is
+    broadcast; the corpus is never nested-loop-joined against anything
+    bigger than that constant-size side."""
+    for df in (
+        sim.cosine_topk(embs),
+        sim.lsh_ann_topk(embs),
+        sim.ivf_topk(embs),
+    ):
+        plan = _plan(df)
+        assert "BroadcastExchange" in plan
+        assert "CartesianProduct" not in plan
+    # ivf's only nested loop is the nlist-row centroid cross — rank
+    # windows must use the pushed-down group-limit, not a full sort
+    assert "WindowGroupLimit" in _plan(sim.ivf_topk(embs))
+
+
+def test_admission_filters_push_into_scan(spark):
+    """The frontier admission gates are native column predicates that
+    must reach the parquet scan (PushedFilters), not sit above a full
+    materialization."""
+    from zeno_spark.queries import q_admission_filter
+
+    plan = _plan(q_admission_filter(spark, SF_DIR))
+    assert "PushedFilters: [" in plan
+    # at least one real predicate pushed (not an empty list)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no predicates pushed into the scan"
+
+
+def test_column_pruning_reaches_scan(docs):
+    """A projection query must scan only the needed columns."""
+    df = dd.exact_dedup(docs)
+    plan = _plan(df)
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "text" in scan and "doc_id" in scan
+    # the documents table's other columns must not be read
+    assert "lang" not in scan and "n_chars" not in scan
+
+
+def test_embedding_oracle_dim_guard(embs):
+    """The similarity operators fold over the WHOLE embedding array; the
+    fixture dim must match the declared DIM so Spark and the oracle
+    compare the same fold (a mismatch must be caught here, loudly)."""
+    row = embs.select("embedding").head()
+    assert len(row.embedding) == sim.DIM
+    assert np.isfinite(np.asarray(row.embedding, dtype=np.float64)).all()
