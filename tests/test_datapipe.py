@@ -89,6 +89,69 @@ def test_jaccard_prefix_filter_equals_allpairs(spark):
     df.unpersist()
 
 
+def test_phash_pairs_equals_brute_force(spark):
+    """phash_pairs (pigeonhole block join + bit_count verify) must equal
+    the all-pairs hamming scan exactly at the declared radius, across
+    sign-bit phashes and multi-bit flips."""
+    rng = np.random.default_rng(3)
+    rows = []
+    n = 0
+    for _ in range(10):
+        u = int(rng.integers(0, 2**64, dtype=np.uint64))
+        for flips in (0, 1, 3, 4, 6):
+            v = u
+            for bit in rng.choice(64, size=flips, replace=False):
+                v ^= 1 << int(bit)
+            signed = v - (1 << 64) if v >= (1 << 63) else v
+            rows.append((f"im{n:04d}", signed))
+            n += 1
+    df = spark.createDataFrame(rows, "id string, phash long")
+
+    def ham(x: int, y: int) -> int:
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    want = {
+        (ra[0], rb[0], ham(ra[1], rb[1]))
+        for i, ra in enumerate(rows)
+        for rb in rows[i + 1:]
+        if ham(ra[1], rb[1]) <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in mm.phash_pairs(df, id_col="id", phash_col="phash").collect()
+    }
+    assert got == want
+    assert want, "fixture produced no near-dup pairs — test is vacuous"
+
+
+def test_phash_pairs_on_real_pixels(spark):
+    """Integration: a re-noised copy of an image stays within the phash
+    radius; an unrelated image does not."""
+    from zeno_spark.functions.images import phash64
+
+    rng = np.random.default_rng(5)
+    grad = np.stack(
+        [np.tile(np.arange(64, dtype=np.uint8) * 4, (64, 1))] * 3, axis=-1
+    )
+    noisy = np.clip(
+        grad.astype(np.int16) + rng.integers(-4, 5, size=grad.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, size=grad.shape).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("orig", phash64(grad)), ("noisy", phash64(noisy)),
+         ("other", phash64(other))],
+        "id string, phash long",
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in mm.phash_pairs(
+            df, id_col="id", phash_col="phash", max_hamming=7
+        ).collect()
+    }
+    assert ("noisy", "orig") in pairs or ("orig", "noisy") in pairs
+    assert not any("other" in p for p in pairs)
+
+
 def test_minhash_lsh_subset_of_exact_and_finds_dups(docs):
     exact = {
         (r.doc_a, r.doc_b) for r in dd.jaccard_pairs(docs, t_num=7, t_den=10).collect()

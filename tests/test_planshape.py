@@ -34,11 +34,20 @@ def test_pair_operators_never_cartesian(docs, embs):
     """Every pair-finding operator generates candidates with equi-joins
     (posting/band/block/cell keys) — a CartesianProduct anywhere means
     the quadratic fallback snuck back in."""
+    from pyspark.sql import functions as F
+
+    from zeno_spark.datapipe import multimodal as mm
+
+    phashes = docs.select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.xxhash64("text").alias("phash"),
+    )
     for df in (
         dd.jaccard_pairs(docs),
         dd.minhash_lsh_pairs(docs),
         dd.simhash_pairs(docs),
         sim.cosine_pairs(embs),
+        mm.phash_pairs(phashes),
     ):
         assert "CartesianProduct" not in _plan(df)
 

@@ -80,6 +80,72 @@ def image_features(images: DataFrame) -> DataFrame:
     return src.mapInPandas(_feat, schema=IMAGE_FEATURES)
 
 
+def phash_pairs(
+    images: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the image-axis analogue of dedup.simhash_pairs.  The reference's
+    crawl sink only dedupes byte-identical payloads
+    (crawl/crawl.go:96-99); perceptual near-dup detection (re-encoded,
+    resized, recompressed copies of the same picture) is the
+    training-data addition the graft brief asks for.
+
+    EXACT for the declared radius: pigeonhole the 64-bit phash into
+    ``max_hamming + 1`` equal bit-blocks — hamming <= max_hamming
+    forces at least one block equal, so candidate generation is an
+    equi-join on (block_idx, block_bits), NEVER a cross join; the
+    exact ``bit_count(xor)`` verify then removes false candidates.
+    Output: id_a, id_b, hamming.
+
+    Scale shape: |candidates| is driven by block-collision counts
+    (64/(max_hamming+1) bits per block keeps random collisions ~2^-16
+    at the default radius); the verify is one narrow join per side and
+    the hamming test runs in codegen.  Requires (max_hamming + 1) | 64.
+    """
+    blocks = max_hamming + 1
+    if 64 % blocks:
+        raise ValueError(
+            f"max_hamming + 1 = {blocks} must divide the 64-bit phash"
+        )
+    width = 64 // blocks
+    src = images.select(
+        F.col(id_col).alias("id"), F.col(phash_col).alias("ph")
+    ).filter(F.col("ph").isNotNull())
+    keys = F.array(
+        *[
+            F.expr(f"shiftright(ph, {b * width}) & {(1 << width) - 1}")
+            for b in range(blocks)
+        ]
+    )
+    banded = src.select("id", F.posexplode(keys).alias("blk", "key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    pa = src.select(F.col("id").alias("id_a"), F.col("ph").alias("__pa"))
+    pb = src.select(F.col("id").alias("id_b"), F.col("ph").alias("__pb"))
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn(
+            "hamming", F.expr("bit_count(__pa ^ __pb)").cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 RESIZED = T.StructType(
     [
         T.StructField("image_id", T.StringType(), True),
