@@ -65,6 +65,12 @@ IMG_DIMS = (
     int(os.environ.get("ZENO_BENCH_IMG_LO", "96")),
     int(os.environ.get("ZENO_BENCH_IMG_HI", "256")),
 )
+# corpus shape knob: pages per host (default 200 ≈ the wide-crawl
+# shape).  scripts/shape_sweep.py re-runs the scaling pair at a
+# different density to show the plan's efficiency isn't an artifact of
+# one host distribution (more hosts = flatter politeness windows;
+# fewer hosts = deeper per-host FIFO + hotter salt buckets).
+HOST_DENSITY = int(os.environ.get("ZENO_BENCH_HOST_DENSITY", "200"))
 
 BENCH_QUERIES = [
     "schedule_window",
@@ -147,7 +153,7 @@ def _run_crawl(spark, n_pages: int, n_hosts: int, rounds: int, seed_frac: int):
 
 def _corpus_dims(sf: float) -> tuple[str, int, int]:
     n_pages = max(2000, int(PAGES_PER_SF * sf))
-    n_hosts = max(20, n_pages // 200)
+    n_hosts = max(20, n_pages // HOST_DENSITY)
     d = os.path.join(
         tempfile.gettempdir(),
         f"zeno_bench_corpus_{n_pages}_{n_hosts}_{IMG_DIMS[0]}x{IMG_DIMS[1]}",

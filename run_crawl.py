@@ -49,6 +49,21 @@ def main() -> None:
                          "instead of reading --pages/--links tables")
     ap.add_argument("--pages", help="parquet path of the pages table")
     ap.add_argument("--links", help="parquet path of the links table")
+    ap.add_argument("--live", action="store_true",
+                    help="fetch over real sockets (HttpTransport) with "
+                         "in-worker P1-P12 extraction — no pages/links "
+                         "tables needed (tested against a local origin in "
+                         "tests/test_transport.py)")
+    ap.add_argument("--proxy", help="X4 forward proxy for --live "
+                                    "(capture.go:60-64)")
+    ap.add_argument("--bypass-proxy", nargs="*", default=[],
+                    help="hosts that skip --proxy (X4 bypass list)")
+    ap.add_argument("--warc-capture-dir",
+                    help="with --live: record every response into rotating "
+                         ".warc.gz files as it streams (S6)")
+    ap.add_argument("--warc-out",
+                    help="after the crawl, export the fetched table to "
+                         ".warc.gz files in this directory (S6 sink parity)")
     args = ap.parse_args()
 
     from zeno_spark.config import CrawlConfig
@@ -67,13 +82,13 @@ def main() -> None:
         pages, links, seeds = corpus["pages"], corpus["links"], corpus["seeds"]
         robots = corpus["robots"]
     else:
-        if not (args.pages and args.links):
-            ap.error("--pages/--links required without --synthetic-pages")
+        if not args.live and not (args.pages and args.links):
+            ap.error("--pages/--links required without --synthetic-pages/--live")
         # read the origin scan directly — never cached or repartitioned:
         # payload bytes stay on the column-pruned parquet path
         # (operators/fetch.py plan discipline)
-        pages = spark.read.parquet(args.pages)
-        links = spark.read.parquet(args.links)
+        pages = spark.read.parquet(args.pages) if args.pages else None
+        links = spark.read.parquet(args.links) if args.links else None
         seeds = None
         if args.seeds:
             seeds = spark.read.text(args.seeds).withColumnRenamed("value", "url")
@@ -92,10 +107,30 @@ def main() -> None:
         robots=args.robots,
         max_rounds=args.rounds,
     )
-    job = CrawlJob(spark, args.warehouse, pages, links, cfg, robots=robots)
+    transport = None
+    if args.live:
+        from zeno_spark.operators.transport import HttpTransport
+
+        transport = HttpTransport(
+            proxy=args.proxy,
+            bypass=tuple(args.bypass_proxy),
+            warc_dir=args.warc_capture_dir,
+            extract=links is None,
+        )
+    job = CrawlJob(spark, args.warehouse, pages, links, cfg, robots=robots,
+                   transport=transport)
     stats = job.run(seeds=seeds, max_rounds=args.rounds)
     for s in stats:
         print(json.dumps(s.__dict__))
+    if args.warc_out:
+        from zeno_spark.operators.warc import write_warc
+
+        manifest = write_warc(job.fetched.read(), args.warc_out).collect()
+        print(json.dumps({
+            "warc_files": len(manifest),
+            "warc_records": sum(m.records for m in manifest),
+            "warc_bytes": sum(m.bytes for m in manifest),
+        }))
     spark.stop()
 
 

@@ -152,6 +152,55 @@ def test_phash_pairs_on_real_pixels(spark):
     assert not any("other" in p for p in pairs)
 
 
+def test_phash_near_dup_marks_match_brute_force(spark):
+    """Crawl-sink perceptual dedupe (phash_near_dup_marks): every later
+    image within the radius of an earlier one gets exactly one mark,
+    pointing at its best earlier partner by (hamming, order); revisit /
+    non-200 / null-phash rows are exempt."""
+    rng = np.random.default_rng(11)
+    rows = []
+    base_hashes = [int(rng.integers(0, 2**64, dtype=np.uint64)) for _ in range(6)]
+    n = 0
+    for rnd in range(3):
+        for u in base_hashes:
+            v = u
+            for bit in rng.choice(64, size=int(rng.integers(0, 4)), replace=False):
+                v ^= 1 << int(bit)
+            signed = v - (1 << 64) if v >= (1 << 63) else v
+            status = 200 if n % 7 else 404          # some ineligible rows
+            revisit = (n % 11 == 0)
+            rows.append((f"http://h{n % 4}.example/p/{n}", rnd, status,
+                         revisit, None if n % 13 == 0 else signed))
+            n += 1
+    df = spark.createDataFrame(
+        rows, "url string, round int, status int, revisit boolean, phash long"
+    )
+
+    def ham(x, y):
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    elig = sorted(
+        [(rnd, url, ph) for url, rnd, st, rv, ph in rows
+         if st == 200 and not rv and ph is not None],
+    )
+    want = {}
+    for i, (rnd, url, ph) in enumerate(elig):
+        cands = [
+            (ham(ph, ph2), rnd2, url2)
+            for rnd2, url2, ph2 in elig[:i]
+            if ham(ph, ph2) <= 3
+        ]
+        if cands:
+            d, _, keeper = min(cands)
+            want[url] = (keeper, d)
+    got = {
+        r.url: (r.near_dup_of, r.hamming)
+        for r in mm.phash_near_dup_marks(df, max_hamming=3).collect()
+    }
+    assert got == want
+    assert want, "fixture produced no near-dup marks — test is vacuous"
+
+
 def test_minhash_lsh_subset_of_exact_and_finds_dups(docs):
     exact = {
         (r.doc_a, r.doc_b) for r in dd.jaccard_pairs(docs, t_num=7, t_den=10).collect()

@@ -1,0 +1,333 @@
+"""Live-fetch transport seam (operators/transport.py).
+
+The reference's captures all flow through one swappable HTTP client
+(crawl/crawl.go:101-119); here the analogous seam is the transport
+passed to fetch_meta / CrawlJob.  A threaded local origin server plays
+"the web", serving the SAME deterministic corpus the pages table holds
+(proxy-style absolute-URI requests — which also exercises X4 routing
+for real, capture.go:60-64), so the invariant is sharp:
+
+  fetch_meta(sched, pages)  ==  fetch_meta(sched, HttpTransport(proxy))
+
+row for row, and a whole CrawlJob run (ordering, seen set, fetched set,
+metrics, revisit marks) is identical under either transport.  The live
+transport additionally records every response into .warc.gz as it
+streams; the capture is checked against the corpus payload bytes.
+"""
+
+from __future__ import annotations
+
+import glob
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from zeno_spark import fixtures
+from zeno_spark.config import CrawlConfig
+from zeno_spark.operators import warc as W
+from zeno_spark.operators.fetch import fetch_meta
+from zeno_spark.operators.transport import HttpTransport, OriginTableTransport
+from zeno_spark.plans.crawl import CrawlJob
+
+_X = ("image_id", "w", "h", "fmt", "caption", "phash")
+
+
+class _OriginHandler(BaseHTTPRequestHandler):
+    """Forward-proxy-style origin: looks the absolute request URI up in
+    the corpus dict.  429 rows are stateful — first hit 429, later hits
+    200 — which is exactly the deterministic 'server recovered on
+    retry' semantics the pages-table transport encodes natively."""
+
+    corpus: dict[str, dict] = {}
+    hits: dict[str, int] = {}
+    lock = threading.Lock()
+    protocol_version = "HTTP/1.1"
+
+    def do_GET(self):  # noqa: N802
+        row = self.corpus.get(self.path)
+        if row is None:
+            self.send_response(404)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+            return
+        with self.lock:
+            n = self.hits[self.path] = self.hits.get(self.path, 0) + 1
+        status = row["status"]
+        if status == 429 and n >= 2:
+            status = 200  # recovered for the retry attempt
+        body = (row["bytes"] or b"") if status == 200 else b""
+        self.send_response(status)
+        self.send_header("Content-Type", row["content_type"])
+        if 300 <= status <= 399 and row["redirect_to"]:
+            self.send_header("Location", row["redirect_to"])
+        if status == 200:
+            for c in _X:
+                if row[c] is not None:
+                    self.send_header(
+                        f"X-Zeno-{c.replace('_', '-').title()}", str(row[c]))
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *args):  # quiet
+        pass
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    c = fixtures.build_corpus(spark, n_pages=140, n_hosts=8, seed=42)
+    c["pages"] = c["pages"].cache()
+    c["pages"].count()
+    return c
+
+
+@pytest.fixture(scope="module")
+def origin(corpus):
+    rows = {
+        r["url"]: r.asDict()
+        for r in corpus["pages"].collect()
+    }
+
+    class Handler(_OriginHandler):
+        corpus = rows
+        hits = {}
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", Handler
+    srv.shutdown()
+
+
+def _sched_rows(spark, pages, extra_urls=()):
+    """All corpus urls (+ unknowns) shaped as scheduled frontier rows."""
+    from zeno_spark.functions import urls as U
+
+    base = pages.select("url").union(
+        spark.createDataFrame([(u,) for u in extra_urls], "url string")
+    )
+    return base.select(
+        F.sha1(F.col("url")).alias("id"),
+        F.col("url"),
+        U.fnv1a64_udf(F.col("url")).alias("url_hash"),
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(0).alias("hop"),
+        F.lit("seed").alias("type"),
+        F.lit(False).alias("bypass_seencheck"),
+        F.lit(0).alias("redirect"),
+        F.lit(0).alias("retry"),
+        F.monotonically_increasing_id().alias("enqueue_seq"),
+        F.lit(0).alias("discovered_round"),
+        F.lit(0).alias("not_before_round"),
+    )
+
+
+def _key(rows):
+    return {
+        r.url: (
+            r.status, r.image_id, r.w, r.h, r.fmt, r.caption, r.phash,
+            r.content_type, r.redirect_to, r.payload_digest,
+        )
+        for r in rows
+    }
+
+
+def test_fetch_meta_equivalence(spark, corpus, origin):
+    """Row-identical FETCH_META under origin-table vs live-HTTP
+    transports, including corpus 404/429/301 rows and unknown urls."""
+    url, _h = origin
+    sched = _sched_rows(
+        spark, corpus["pages"],
+        extra_urls=["http://nowhere.example/missing"],
+    ).cache()
+    sched.count()
+    via_table = fetch_meta(sched, corpus["pages"]).collect()
+    live = HttpTransport(proxy=url, timeout=15.0, max_retries=1)
+    via_http = fetch_meta(sched, None, transport=live).collect()
+    a, b = _key(via_table), _key(via_http)
+    assert set(a) == set(b)
+    diffs = {u: (a[u], b[u]) for u in a if a[u] != b[u]}
+    assert not diffs, f"{len(diffs)} divergent rows, e.g. {next(iter(diffs.items()))}"
+    sched.unpersist()
+
+
+def test_proxy_bypass_goes_direct(spark, corpus, origin):
+    """X4: a bypassed host skips the proxy — with no direct route to the
+    synthetic hosts, those rows come back as connection failures (404
+    analogue), everything else still resolves via the proxy."""
+    url, _h = origin
+    pages = corpus["pages"].filter(F.col("status") == 200).limit(20).cache()
+    sched = _sched_rows(spark, pages)
+    hosts = [r.host for r in pages.select("host").distinct().collect()]
+    bypassed = hosts[0]
+    live = HttpTransport(proxy=url, bypass=(bypassed,), timeout=3.0,
+                         max_retries=0)
+    out = fetch_meta(sched, None, transport=live).collect()
+    for r in out:
+        if r.host == bypassed:
+            assert r.status == 404  # no direct route -> failure analogue
+        else:
+            assert r.status in (200, 301, 404, 429)
+    pages.unpersist()
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return CrawlConfig(max_hops=2, per_host_budget=8, max_rounds=10,
+                       payload_dedupe_min_size=64)
+
+
+@pytest.fixture(scope="module")
+def table_run(spark, corpus, cfg, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("wh_table")
+    job = CrawlJob(spark, str(wh), corpus["pages"], corpus["links"], cfg)
+    stats = job.run(seeds=corpus["seeds"], max_rounds=cfg.max_rounds)
+    return job, stats
+
+
+@pytest.fixture(scope="module")
+def live_run(spark, corpus, cfg, origin, tmp_path_factory):
+    url, handler = origin
+    handler.hits.clear()  # fresh 429 state for the crawl
+    wh = tmp_path_factory.mktemp("wh_live")
+    warc_dir = str(tmp_path_factory.mktemp("warc_live"))
+    live = HttpTransport(proxy=url, timeout=15.0, max_retries=1,
+                         warc_dir=warc_dir)
+    job = CrawlJob(spark, str(wh), None, corpus["links"], cfg,
+                   transport=live)
+    stats = job.run(seeds=corpus["seeds"], max_rounds=cfg.max_rounds)
+    return job, stats, warc_dir
+
+
+def test_live_crawl_equals_table_crawl(table_run, live_run):
+    """The whole BSP crawl — schedule, statuses, D8 revisit marks, seen
+    set, per-host metrics — is identical when the wire is real."""
+    tjob, tstats = table_run
+    ljob, lstats, _ = live_run
+    assert [s.__dict__ for s in tstats] == [s.__dict__ for s in lstats]
+
+    tf = {
+        r.url: (r.round, r.type, r.hop, r.status, r.caption, r.phash,
+                r.payload_digest, r.revisit)
+        for r in tjob.fetched.read().collect()
+    }
+    lf = {
+        r.url: (r.round, r.type, r.hop, r.status, r.caption, r.phash,
+                r.payload_digest, r.revisit)
+        for r in ljob.fetched.read().collect()
+    }
+    assert tf == lf
+    tseen = {(r.url, r.type, r.round) for r in tjob.seen.read().collect()}
+    lseen = {(r.url, r.type, r.round) for r in ljob.seen.read().collect()}
+    assert tseen == lseen
+    tm = {tuple(r) for r in tjob.metrics.read().collect()}
+    lm = {tuple(r) for r in ljob.metrics.read().collect()}
+    assert tm == lm
+
+
+@pytest.fixture(scope="module")
+def origin_html(corpus):
+    """Origin whose html pages carry REAL generated bodies — one
+    <a href>/<img src> tag per links-table edge — so the live
+    transport's in-worker extractors (extract=True) discover exactly
+    what the links-table join declares.  429-status html pages have no
+    links rows by fixture construction (only 200-status html pages get
+    edges), so their recovered retry bodies are empty — consistent."""
+    import html as html_mod
+
+    edges: dict[str, list] = {}
+    for r in corpus["links"].collect():
+        edges.setdefault(r.src_url, []).append((r.dst_url, r.kind))
+    rows = {}
+    for r in corpus["pages"].collect():
+        d = r.asDict()
+        if d["content_type"] == "text/html":
+            tags = []
+            for dst, kind in edges.get(d["url"], []):
+                esc = html_mod.escape(dst, quote=True)
+                if kind == "asset":
+                    tags.append(f'<img src="{esc}">')
+                else:
+                    tags.append(f'<a href="{esc}">go</a>')
+            # unique comment: live html payloads get real (distinct)
+            # digests, so D8 never marks spurious html revisits among
+            # link-less pages with otherwise identical bodies
+            d["bytes"] = (
+                f"<html><!-- {d['url']} --><body>"
+                + "".join(tags) + "</body></html>"
+            ).encode("utf-8")
+        rows[d["url"]] = d
+
+    class Handler(_OriginHandler):
+        corpus = rows
+        hits = {}
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", Handler
+    srv.shutdown()
+
+
+def test_live_extract_crawl_equals_table_crawl(
+    spark, corpus, cfg, origin_html, table_run, tmp_path
+):
+    """The fully self-contained live crawler — real sockets, real HTML
+    parsing in the fetch worker, NO links table — reproduces the
+    links-join crawl exactly: same schedule, seen set, fetched set,
+    per-host metrics."""
+    url, _handler = origin_html
+    live = HttpTransport(proxy=url, timeout=15.0, max_retries=1,
+                         extract=True)
+    job = CrawlJob(spark, str(tmp_path / "wh_ext"), None, None, cfg,
+                   transport=live)
+    stats = job.run(seeds=corpus["seeds"], max_rounds=cfg.max_rounds)
+    tjob, tstats = table_run
+    assert [s.__dict__ for s in tstats] == [s.__dict__ for s in stats]
+
+    def key(r):
+        # D8 columns compare on image rows only: the live crawl
+        # legitimately captures html payloads (and digests them) that
+        # the synthetic pages table never stored
+        is_img = r.fmt is not None
+        return (r.url, r.round, r.type, r.hop, r.status, r.caption,
+                r.phash, r.payload_digest if is_img else None,
+                r.revisit if is_img else None)
+
+    tf = {key(r) for r in tjob.fetched.read().collect()}
+    lf = {key(r) for r in job.fetched.read().collect()}
+    assert tf == lf
+    tseen = {(r.url, r.type, r.round) for r in tjob.seen.read().collect()}
+    lseen = {(r.url, r.type, r.round) for r in job.seen.read().collect()}
+    assert tseen == lseen
+    tm = {tuple(r) for r in tjob.metrics.read().collect()}
+    lm = {tuple(r) for r in job.metrics.read().collect()}
+    assert tm == lm
+
+
+def test_live_warc_capture_matches_corpus(spark, corpus, live_run):
+    """Streaming WARC capture from the live workers: every 200-image
+    response's recorded payload byte-equals the corpus payload."""
+    _job, _stats, warc_dir = live_run
+    assert glob.glob(f"{warc_dir}/*.warc.gz")
+    recorded = {}
+    for path in glob.glob(f"{warc_dir}/*.warc.gz"):
+        for rec in W.parse_warc_stream(open(path, "rb").read()):
+            if rec["type"] != "response":
+                continue
+            status, hh, body = W.parse_http_block(rec["block"])
+            if status == 200 and hh.get("content-type", "").startswith("image/"):
+                recorded[rec["headers"]["WARC-Target-URI"]] = body
+    assert recorded
+    # key on payload presence, not table status: a 429 row that
+    # "recovered" on its retry hit serves the same corpus bytes with a
+    # live 200, and that capture is as real as any other
+    want = {
+        r.url: bytes(r.bytes)
+        for r in corpus["pages"].filter(F.col("bytes").isNotNull()).collect()
+    }
+    for url, body in recorded.items():
+        assert want.get(url) == body, url

@@ -146,6 +146,62 @@ def phash_pairs(
     )
 
 
+def phash_near_dup_marks(
+    fetched: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Crawl-scale perceptual dedupe over the `fetched` sink: every
+    successfully-fetched image row whose phash lies within
+    ``max_hamming`` of an EARLIER fetched image gets a mark
+    ``(url, near_dup_of, hamming)`` — the perceptual analogue of the
+    reference's identical-payload revisit records (crawl/crawl.go:96-99
+    only catches byte-identical payloads; a re-encoded or recompressed
+    copy of the same picture slips through, and this is the operator
+    that catches it).
+
+    Order is the sink order (round, url): the keeper of a near-dup pair
+    is the earlier row, exactly like D8's deterministic keep-first.  A
+    marked row's ``near_dup_of`` is its best earlier partner (min by
+    (hamming, order)) — pair-local marking, not transitive-closure
+    clustering, mirroring the revisit-record semantics where every
+    revisit points at one concrete prior capture.
+
+    Scale shape: inherits phash_pairs' pigeonhole block equi-join (no
+    cross join); the mark aggregation is one groupBy over the pair set.
+    Intended as a post-round / offline maintenance job over the fetched
+    table, like snapshot compaction.
+    """
+    src = (
+        fetched.filter(
+            (F.col("status") == 200)
+            & ~F.col("revisit")
+            & F.col("phash").isNotNull()
+        )
+        # sortable composite id encoding (round, url) sink order
+        .select(
+            F.concat_ws(
+                "|", F.lpad(F.col("round").cast("string"), 9, "0"), F.col("url")
+            ).alias("__oid"),
+            "phash",
+        )
+    )
+    pairs = phash_pairs(src, id_col="__oid", phash_col="phash",
+                        max_hamming=max_hamming)
+    # id_a < id_b in the composite order -> id_b is the later row
+    best = pairs.groupBy("id_b").agg(
+        F.min(F.struct("hamming", "id_a")).alias("__best")
+    )
+    # fixed-width prefix (9-digit round + "|"): strip by position, so a
+    # url containing "|" can't confuse the split
+    def strip(c):
+        return F.substring(c, 11, 1 << 30)
+
+    return best.select(
+        strip(F.col("id_b")).alias("url"),
+        strip(F.col("__best.id_a")).alias("near_dup_of"),
+        F.col("__best.hamming").cast("int").alias("hamming"),
+    )
+
+
 RESIZED = T.StructType(
     [
         T.StructField("image_id", T.StringType(), True),

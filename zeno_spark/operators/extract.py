@@ -52,7 +52,8 @@ def discovered_seq(round_col, url_hash_col):
 def extract_candidates(
     ok_html: DataFrame, links: DataFrame, cfg: CrawlConfig, round_no: int
 ) -> DataFrame:
-    """Fetched-200 html rows -> candidate frontier rows (pre-dedup).
+    """Fetched-200 html rows -> candidate frontier rows (pre-dedup),
+    extraction = the synthetic links-table join.
 
     ok_html needs columns: url, hop, host, enqueue_seq.
     Returns FRONTIER-shaped rows, in-batch duplicates NOT yet dropped.
@@ -67,7 +68,53 @@ def extract_candidates(
     edges = parents.join(
         links, parents["parent_url"] == links["src_url"], "inner"
     ).drop("src_url")
+    return edge_candidates(edges, cfg, round_no)
 
+
+def content_candidates(
+    ok: DataFrame, cfg: CrawlConfig, round_no: int
+) -> DataFrame:
+    """Fetched-200 rows carrying in-worker extraction arrays (a live
+    transport with extract=True, operators/transport.py) -> candidate
+    frontier rows.  Same edge pipeline as extract_candidates — only the
+    edge SOURCE differs (explode of the per-page arrays vs the links
+    join), so the two paths produce identical frontiers on the same
+    discovered URL sets (tested in tests/test_transport.py)."""
+    edge = F.explode(
+        F.concat(
+            F.transform(
+                F.coalesce(F.col("outlinks"), F.array()),
+                lambda u: F.struct(
+                    u.alias("dst_url"), F.lit("outlink").alias("kind")
+                ),
+            ),
+            F.transform(
+                F.coalesce(F.col("assets"), F.array()),
+                lambda u: F.struct(
+                    u.alias("dst_url"), F.lit("asset").alias("kind")
+                ),
+            ),
+        )
+    )
+    edges = ok.select(
+        F.col("url").alias("parent_url"),
+        F.col("hop").alias("parent_hop"),
+        F.col("host").alias("parent_host"),
+        edge.alias("__e2"),
+    ).select(
+        "parent_url", "parent_hop", "parent_host",
+        F.col("__e2.dst_url").alias("dst_url"),
+        F.col("__e2.kind").alias("kind"),
+    )
+    return edge_candidates(edges, cfg, round_no)
+
+
+def edge_candidates(
+    edges: DataFrame, cfg: CrawlConfig, round_no: int
+) -> DataFrame:
+    """(parent_url, parent_hop, parent_host, dst_url, kind) edges ->
+    gated FRONTIER-shaped candidate rows (shared tail of both
+    extraction modes)."""
     # P3-P6: resolve relative vs parent, strip fragment, canonicalize,
     # hash, host — ONE fused Arrow roundtrip (enrich_url_udf); chaining
     # separate pandas UDFs would serialize the batch once per step.

@@ -64,7 +64,10 @@ _CARRY = [f.name for f in schemas.FRONTIER.fields]
 _META_COLS = ["image_id", "w", "h", "fmt", "caption", "phash",
               "content_type", "redirect_to"]
 
-# narrow fetch result: one row per scheduled row, no payload bytes
+# narrow fetch result: one row per scheduled row, no payload bytes.
+# outlinks/assets are the in-worker live-extraction results (transport
+# extract=True); null under the origin-table transport, whose extraction
+# is the links-table join (operators/extract.py).
 FETCH_META = T.StructType(
     schemas.FRONTIER.fields
     + [
@@ -78,6 +81,8 @@ FETCH_META = T.StructType(
         T.StructField("redirect_to", T.StringType(), True),
         T.StructField("status", T.IntegerType(), False),  # effective status
         T.StructField("payload_digest", T.StringType(), True),
+        T.StructField("outlinks", T.ArrayType(T.StringType()), True),
+        T.StructField("assets", T.ArrayType(T.StringType()), True),
     ]
 )
 
@@ -181,37 +186,41 @@ def _headers_col(cfg) -> F.Column:
     return F.lit(None).cast("map<string,string>")
 
 
-def fetch_meta(scheduled: DataFrame, pages: DataFrame, cfg=None) -> DataFrame:
+def fetch_meta(
+    scheduled: DataFrame, pages: DataFrame | None, cfg=None, transport=None
+) -> DataFrame:
     """Narrow fetch: one FETCH_META row per scheduled row, payload bytes
     touched exactly once (the verify worker's input) and never emitted.
 
-    The scheduled set (bounded by budget*hosts per round) broadcasts
-    onto the origin scan, so page bodies stream straight out of the
-    column-pruned parquet scan.  Status semantics and the D8 payload
-    digest are native expressions; the only Python is the decode+verify
-    in ``_verify_batches``.  URLs with no origin row skip the worker
+    The wire lives behind the *transport* seam (operators/transport.py):
+    by default the scheduled set (bounded by budget*hosts per round)
+    broadcasts onto the ``pages`` origin scan, so page bodies stream
+    straight out of the column-pruned parquet scan; a live deployment
+    passes an ``HttpTransport`` and the SAME downstream plan runs over
+    real responses.  Status semantics and the D8 payload digest are
+    native expressions; the only Python is the decode+verify in
+    ``_verify_batches``.  URLs with no origin row skip the worker
     entirely and surface as native 404 rows (connection-refused
     analogue)."""
+    from zeno_spark.operators.transport import OriginTableTransport
+
     min_size = getattr(cfg, "payload_dedupe_min_size", 1024) if cfg else 1024
-    page_side = pages.select(
-        F.col("url").alias("__page_url"),
-        F.col("status").alias("__page_status"),
-        F.col("bytes").alias("__bytes"),
-        # string sidecar: int64 > 2^53 survives Arrow exactly
-        F.col("phash").cast("string").alias("__adv_phash"),
-        *_META_COLS,
-    )
-    sched_b = F.broadcast(scheduled)
-    matched = page_side.join(
-        sched_b, page_side["__page_url"] == sched_b["url"], "inner"
-    ).drop("__page_url")
+    if transport is None:
+        transport = OriginTableTransport(pages)
+    matched = transport.responses(scheduled, cfg)
 
     raw = F.coalesce(F.col("__page_status"), F.lit(404))
-    eff = (
-        F.when((raw == 429) & (F.col("retry") >= 1), F.lit(200))
-        .otherwise(raw)
-        .cast("int")
-    )
+    if transport.deterministic_429:
+        # sandbox origin: a retried 429 deterministically "recovers", so
+        # the O5 retry path is exercised end-to-end; a live transport
+        # reports what the server actually said on the re-fetch
+        eff = (
+            F.when((raw == 429) & (F.col("retry") >= 1), F.lit(200))
+            .otherwise(raw)
+            .cast("int")
+        )
+    else:
+        eff = raw.cast("int")
     failed = eff != 200
     base = matched.select(
         *_CARRY,
@@ -240,6 +249,8 @@ def fetch_meta(scheduled: DataFrame, pages: DataFrame, cfg=None) -> DataFrame:
             & (F.length("__bytes") >= F.lit(min_size)),
             F.sha2(F.col("__bytes"), 256),
         ).alias("payload_digest"),
+        F.col("__outlinks").alias("outlinks"),
+        F.col("__assets").alias("assets"),
         F.col("__bytes"),
         F.col("__adv_phash"),
         _proxy_col(cfg).alias("__proxy"),
@@ -248,6 +259,10 @@ def fetch_meta(scheduled: DataFrame, pages: DataFrame, cfg=None) -> DataFrame:
     verified = base.drop("__proxy", "__headers").mapInArrow(
         _verify_batches, schema=FETCH_META
     )
+    if transport.covers_all:
+        # a live transport yields one response row per scheduled row
+        # (connection failure is a status, not an absent row)
+        return verified
 
     # scheduled rows with no origin row -> 404, built natively (the
     # matched url set is <= |scheduled|, so it broadcasts back cheaply)
@@ -268,6 +283,8 @@ def fetch_meta(scheduled: DataFrame, pages: DataFrame, cfg=None) -> DataFrame:
         F.lit(None).cast("string").alias("redirect_to"),
         F.lit(404).cast("int").alias("status"),
         F.lit(None).cast("string").alias("payload_digest"),
+        F.lit(None).cast("array<string>").alias("outlinks"),
+        F.lit(None).cast("array<string>").alias("assets"),
     )
     return verified.unionByName(missing_rows)
 

@@ -1,0 +1,322 @@
+"""Fetch transports — the seam between the crawl plan and the wire.
+
+The reference talks HTTP through one WARC-recording client object
+(crawl/crawl.go:101-119) that every capture goes through
+(capture.go:30-181); swapping that client is how its tests and proxies
+work.  This module gives the Spark plan the same seam: ``fetch_meta``
+consumes a *transport*, and the two implementations keep the SAME
+output shape so everything downstream (status semantics, digest, the
+Arrow verify worker, D8, extract) is byte-identical between them:
+
+  * ``OriginTableTransport`` — the sandbox/bench origin: the scheduled
+    batch broadcast-probes the deterministic ``pages`` table (an
+    equi-join IS this environment's HTTP GET).  Default everywhere.
+  * ``HttpTransport`` — real sockets: an ``mapInArrow`` worker performs
+    the GETs for its batch (UA + Referer from the parent row like
+    capture.go:206-210, bounded retries on connection errors like
+    capture.go:56-83, no implicit redirect following — 3xx surfaces as
+    a redirect row exactly like capture.go:120-178), honouring the X4
+    proxy/bypass routing (capture.go:60-64), and optionally recording
+    every response into rotating .warc.gz files AS IT STREAMS
+    (operators/warc.py) — the WARC-recording-client behaviour, which
+    is also what keeps payload bytes out of the measured plan in a
+    live deployment.
+
+Transport contract: ``responses(scheduled, cfg)`` returns a DataFrame
+with the scheduled columns plus (__page_status int, __bytes binary,
+__adv_phash string, image_id, w, h, fmt, caption, phash, content_type,
+redirect_to).  ``covers_all`` tells fetch_meta whether every scheduled
+row yields a response row (HTTP: yes — connection failure is a status;
+origin table: no — absent rows become native 404s).
+``deterministic_429`` opts into the sandbox's "server recovered on
+retry" rewrite; a live transport reports what the server actually said.
+
+Scale shape: one worker task per frontier partition (the politeness
+schedule already bounds rows/host/round), requests sequential within a
+batch — per-host serialization for free, since a host's rows share a
+partition.  No shuffle is introduced: scheduled -> mapInArrow is a
+narrow chain.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zeno_spark import schemas
+
+_META_FIELDS = [
+    T.StructField("image_id", T.StringType(), True),
+    T.StructField("w", T.IntegerType(), True),
+    T.StructField("h", T.IntegerType(), True),
+    T.StructField("fmt", T.StringType(), True),
+    T.StructField("caption", T.StringType(), True),
+    T.StructField("phash", T.LongType(), True),
+    T.StructField("content_type", T.StringType(), True),
+    T.StructField("redirect_to", T.StringType(), True),
+]
+
+# transport output: scheduled columns + raw response columns.
+# __outlinks/__assets are the in-worker extraction results (P1-P12 run
+# against the live body while it's in hand — the reference parses inside
+# the capture worker too, capture.go:459-501); null when the transport
+# doesn't extract (the origin-table path reads the links table instead).
+RESPONSES = T.StructType(
+    schemas.FRONTIER.fields
+    + _META_FIELDS
+    + [
+        T.StructField("__page_status", T.IntegerType(), True),
+        T.StructField("__bytes", T.BinaryType(), True),
+        T.StructField("__adv_phash", T.StringType(), True),
+        T.StructField("__outlinks", T.ArrayType(T.StringType()), True),
+        T.StructField("__assets", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+_CARRY = [f.name for f in schemas.FRONTIER.fields]
+_META_COLS = [f.name for f in _META_FIELDS]
+_USER_AGENT = "zeno-spark/0.2 (+https://example.invalid/crawler)"
+
+
+class OriginTableTransport:
+    """The pages-table origin (sandbox / bench / unit tests): broadcast
+    the scheduled batch onto the column-pruned origin scan.  Payload
+    bytes stream straight out of parquet; nothing touches Python here."""
+
+    covers_all = False
+    deterministic_429 = True
+
+    def __init__(self, pages: DataFrame):
+        self.pages = pages
+
+    def responses(self, scheduled: DataFrame, cfg=None) -> DataFrame:
+        page_side = self.pages.select(
+            F.col("url").alias("__page_url"),
+            F.col("status").alias("__page_status"),
+            F.col("bytes").alias("__bytes"),
+            # string sidecar: int64 > 2^53 survives Arrow exactly
+            F.col("phash").cast("string").alias("__adv_phash"),
+            *_META_COLS,
+        )
+        sched_b = F.broadcast(scheduled)
+        return (
+            page_side.join(
+                sched_b, page_side["__page_url"] == sched_b["url"], "inner"
+            )
+            .drop("__page_url")
+            .withColumn("__outlinks", F.lit(None).cast("array<string>"))
+            .withColumn("__assets", F.lit(None).cast("array<string>"))
+        )
+
+
+def _http_worker(proxy, bypass, timeout, max_retries, retry_sleep,
+                 warc_dir, rotate_bytes, user_agent, extract,
+                 disabled_tags):
+    """Build the Arrow fetch worker (a closure so the config rides the
+    serialized function, not a driver-side object reference)."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import urllib.error
+        import urllib.request
+
+        from pyspark import TaskContext
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            # 3xx must surface as a redirect ROW (capture.go:120-178),
+            # never be followed silently
+            def redirect_request(self, *a, **k):
+                return None
+
+        direct = urllib.request.build_opener(
+            _NoRedirect, urllib.request.ProxyHandler({})
+        )
+        proxied = (
+            urllib.request.build_opener(
+                _NoRedirect,
+                urllib.request.ProxyHandler({"http": proxy, "https": proxy}),
+            )
+            if proxy
+            else direct
+        )
+
+        writer = None
+        if warc_dir:
+            from zeno_spark.operators.warc import WarcWriter
+
+            # task ATTEMPT id, not partition id: unique across rounds and
+            # across speculative/retried attempts, so no two tasks ever
+            # write the same file series
+            ctx = TaskContext.get()
+            tid = ctx.taskAttemptId() if ctx else 0
+            writer = WarcWriter(
+                warc_dir, f"live-{tid:08d}", 0, rotate_bytes=rotate_bytes
+            )
+
+        def one_get(url, host, referer):
+            opener = direct if (not proxy or host in bypass) else proxied
+            req = urllib.request.Request(
+                url, headers={"User-Agent": user_agent}
+            )
+            if referer:
+                req.add_header("Referer", referer)
+            last_err = None
+            for attempt in range(max_retries + 1):
+                try:
+                    with opener.open(req, timeout=timeout) as resp:
+                        return resp.status, dict(resp.headers), resp.read()
+                except urllib.error.HTTPError as e:
+                    # a response, not a failure: keep status + headers
+                    body = b""
+                    try:
+                        body = e.read()
+                    except Exception:
+                        pass
+                    return e.code, dict(e.headers or {}), body
+                except Exception as e:  # connection-level failure
+                    last_err = e
+                    if attempt < max_retries and retry_sleep:
+                        time.sleep(retry_sleep * (attempt + 1))
+            del last_err
+            return None, {}, None
+
+        names = [f.name for f in RESPONSES.fields]
+        for b in batches:
+            idx = {n: i for i, n in enumerate(b.schema.names)}
+            urls = b.column(idx["url"]).to_pylist()
+            hosts = b.column(idx["host"]).to_pylist()
+            parents = b.column(idx["parent_url"]).to_pylist()
+            out: dict[str, list] = {n: [] for n in names}
+            for i, url in enumerate(urls):
+                status, headers, body = one_get(url, hosts[i], parents[i])
+                hh = {k.lower(): v for k, v in headers.items()}
+                ct = (hh.get("content-type") or "").split(";")[0].strip() or None
+                fmt = hh.get("x-zeno-fmt") or (
+                    ct.removeprefix("image/") if ct and ct.startswith("image/")
+                    else None
+                )
+                is_ok = status == 200
+                out["image_id"].append(hh.get("x-zeno-image-id") if is_ok else None)
+                out["w"].append(int(hh["x-zeno-w"]) if is_ok and "x-zeno-w" in hh else None)
+                out["h"].append(int(hh["x-zeno-h"]) if is_ok and "x-zeno-h" in hh else None)
+                out["fmt"].append(fmt if is_ok else None)
+                out["caption"].append(hh.get("x-zeno-caption") if is_ok else None)
+                phash = hh.get("x-zeno-phash")
+                out["phash"].append(int(phash) if is_ok and phash is not None else None)
+                out["content_type"].append(ct)
+                out["redirect_to"].append(
+                    hh.get("location")
+                    if status is not None and 300 <= status <= 399
+                    else None
+                )
+                out["__page_status"].append(status)
+                out["__bytes"].append(body if is_ok else None)
+                out["__adv_phash"].append(phash if is_ok else None)
+                if extract and is_ok and body:
+                    # P1-P12 on the live body while it's in hand
+                    # (capture.go:459-501 runs the extractors inside the
+                    # capture worker for the same reason: the payload
+                    # never needs a second trip)
+                    from zeno_spark.operators.parse import route_extract
+
+                    text = body.decode("utf-8", "replace")
+                    o, a = route_extract(
+                        url, ct or "", text,
+                        link_header=hh.get("link"),
+                        server_header=hh.get("server"),
+                        disabled_tags=disabled_tags,
+                    )
+                    out["__outlinks"].append(o)
+                    out["__assets"].append(a)
+                else:
+                    out["__outlinks"].append(None)
+                    out["__assets"].append(None)
+                if writer is not None and status is not None:
+                    from zeno_spark.operators import warc as W
+
+                    xh = {
+                        k: v for k, v in headers.items()
+                        if k.lower().startswith("x-zeno-")
+                    }
+                    if 300 <= status <= 399 and hh.get("location"):
+                        xh["Location"] = hh["location"]
+                    writer.add(
+                        W.response_record(
+                            url, 0, status, ct or "application/octet-stream",
+                            body or b"", None, xh,
+                        )
+                    )
+            for n in _CARRY:
+                out[n] = b.column(idx[n])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    out[n] if isinstance(out[n], pa.Array)
+                    else pa.array(out[n], type=_pa_type(n))
+                    for n in names
+                ],
+                names=names,
+            )
+        if writer is not None:
+            writer.close()
+
+    return gen
+
+
+def _pa_type(name: str):
+    dt = {f.name: f.dataType for f in RESPONSES.fields}[name]
+    return {
+        "string": pa.string(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "binary": pa.binary(),
+        "boolean": pa.bool_(),
+        "array<string>": pa.list_(pa.string()),
+    }[dt.simpleString()]
+
+
+class HttpTransport:
+    """Real-socket transport: GETs happen inside the Arrow worker, one
+    batch at a time.  ``proxy``/``bypass`` implement X4 routing
+    (capture.go:60-64); ``warc_dir`` turns on streaming WARC capture;
+    ``extract=True`` runs the P1-P12 extractors on each live body inside
+    the worker (so CrawlJob needs no links table — the crawl becomes a
+    fully self-contained live crawler)."""
+
+    covers_all = True
+    deterministic_429 = False
+
+    def __init__(
+        self,
+        proxy: str | None = None,
+        bypass: tuple[str, ...] = (),
+        timeout: float = 10.0,
+        max_retries: int = 1,
+        retry_sleep: float = 0.0,
+        warc_dir: str | None = None,
+        rotate_bytes: int = 1 << 30,
+        user_agent: str = _USER_AGENT,
+        extract: bool = False,
+        disabled_tags: frozenset[str] = frozenset(),
+    ):
+        self.proxy = proxy
+        self.bypass = tuple(bypass)
+        self.timeout = timeout
+        self.max_retries = max_retries
+        self.retry_sleep = retry_sleep
+        self.warc_dir = warc_dir
+        self.rotate_bytes = rotate_bytes
+        self.user_agent = user_agent
+        self.extract = extract
+        self.disabled_tags = frozenset(disabled_tags)
+
+    def responses(self, scheduled: DataFrame, cfg=None) -> DataFrame:
+        worker = _http_worker(
+            self.proxy, self.bypass, self.timeout, self.max_retries,
+            self.retry_sleep, self.warc_dir, self.rotate_bytes,
+            self.user_agent, self.extract, self.disabled_tags,
+        )
+        return scheduled.mapInArrow(worker, schema=RESPONSES)

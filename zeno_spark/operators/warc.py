@@ -1,0 +1,449 @@
+"""WARC container emission + ingestion (S6 parity, SURVEY §2.1).
+
+The reference records all HTTP traffic into rotating gzip WARC files via
+its WARC-writing client (crawl/crawl.go:101-119; rotation settings
+crawl/warc.go:11-26; 1 GB default rotation cmd/get.go:80-82).  Round 1/2
+replaced WARC with the `fetched` Iceberg table; this module closes the
+container-format gap so a user migrating off the reference keeps their
+tooling:
+
+  * ``write_warc``  — export fetched-table rows to standards-shaped
+    ``.warc.gz`` files (one gzip member per record, the concatenated-
+    member layout every WARC reader expects), distributed: one file per
+    Spark partition, written inside a ``mapInArrow`` worker so payload
+    bytes go parquet scan -> gzip stream without ever shuffling or
+    crossing into pandas.  Returns a manifest DataFrame (file, records,
+    bytes) — the driver action is the manifest collect, never the data.
+  * ``read_warc``   — load ``.warc.gz`` files back into the fetched-row
+    shape via the ``binaryFile`` source + an Arrow parser, so a WARC
+    corpus (ours or the reference's) can seed the datapipe tier.
+  * Pure-stdlib record framing (`build_record` / `parse_warc_stream`)
+    usable outside Spark; no external warc library.
+
+Record mapping (ISO 28500 / WARC 1.1, public spec):
+
+  fetched row, revisit=false -> WARC-Type: response, block = synthesized
+      HTTP/1.1 response (status line + headers + payload); the image
+      metadata columns ride as ``X-Zeno-*`` response headers so the
+      round-trip restores the input_hint row exactly.
+  fetched row, revisit=true  -> WARC-Type: revisit with
+      WARC-Profile: .../revisit/identical-payload-digest and no payload
+      block, mirroring the reference's payload-dedupe revisit records
+      (crawl/crawl.go:96-99).
+  per file                   -> a leading warcinfo record.
+
+Determinism: record ids are uuid5 of (url, round, digest) and
+WARC-Date derives from the round clock (streaming/live.py ROUND_SECONDS
+discipline), so identical inputs emit byte-identical files — the same
+reproducibility contract as every other sink in this repo.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+import os
+import uuid
+from datetime import datetime, timedelta, timezone
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CRLF = b"\r\n"
+_SOFTWARE = "zeno-spark/0.2 (PySpark frontier crawler)"
+_REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+# fixed epoch for the round clock -> deterministic WARC-Date
+_EPOCH = datetime(2026, 1, 1, tzinfo=timezone.utc)
+_ROUND_SECONDS = 60
+# uuid5 namespace for record ids (any fixed namespace works; DNS is fine)
+_NS = uuid.NAMESPACE_URL
+
+# metadata columns that ride as synthesized HTTP response headers
+_X_HEADERS = ("image_id", "w", "h", "fmt", "caption", "phash")
+
+MANIFEST = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType(), False),
+        T.StructField("records", T.LongType(), False),
+        T.StructField("bytes", T.LongType(), False),
+    ]
+)
+
+WARC_ROWS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("record_type", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("image_id", T.StringType(), True),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("w", T.IntegerType(), True),
+        T.StructField("h", T.IntegerType(), True),
+        T.StructField("fmt", T.StringType(), True),
+        T.StructField("caption", T.StringType(), True),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("payload_digest", T.StringType(), True),
+        T.StructField("revisit", T.BooleanType(), False),
+        T.StructField("round", T.IntegerType(), True),
+        T.StructField("warc_file", T.StringType(), False),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# framing (pure stdlib)
+# ---------------------------------------------------------------------------
+
+def _warc_date(round_no: int) -> str:
+    t = _EPOCH + timedelta(seconds=_ROUND_SECONDS * max(round_no, 0))
+    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _record_id(*parts) -> str:
+    return f"<urn:uuid:{uuid.uuid5(_NS, '|'.join(str(p) for p in parts))}>"
+
+
+def build_record(
+    record_type: str,
+    headers: dict[str, str],
+    block: bytes,
+) -> bytes:
+    """One WARC 1.1 record: version line, named fields, Content-Length,
+    block, two CRLFs.  Caller supplies type-specific fields; block
+    digest is computed here."""
+    h = dict(headers)
+    h["WARC-Type"] = record_type
+    h["Content-Length"] = str(len(block))
+    if block:
+        h["WARC-Block-Digest"] = (
+            "sha256:" + hashlib.sha256(block).hexdigest()
+        )
+    out = io.BytesIO()
+    out.write(b"WARC/1.1" + _CRLF)
+    for k, v in h.items():
+        out.write(f"{k}: {v}".encode("utf-8") + _CRLF)
+    out.write(_CRLF)
+    out.write(block)
+    out.write(_CRLF + _CRLF)
+    return out.getvalue()
+
+
+def warcinfo_record(filename: str, round_no: int) -> bytes:
+    body = (
+        f"software: {_SOFTWARE}\r\n"
+        "format: WARC File Format 1.1\r\n"
+    ).encode("utf-8")
+    return build_record(
+        "warcinfo",
+        {
+            "WARC-Record-ID": _record_id("warcinfo", filename),
+            "WARC-Date": _warc_date(round_no),
+            "WARC-Filename": filename,
+            "Content-Type": "application/warc-fields",
+        },
+        body,
+    )
+
+
+def http_block(
+    status: int,
+    content_type: str,
+    payload: bytes,
+    extra_headers: dict[str, str] | None = None,
+) -> bytes:
+    """Synthesize the HTTP/1.1 response the reference's client would
+    have recorded (we fetch from a table / Arrow worker, so the wire
+    bytes are reconstructed, not replayed)."""
+    reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
+              422: "Unprocessable Entity", 429: "Too Many Requests"}.get(
+        status, "Status")
+    lines = [f"HTTP/1.1 {status} {reason}"]
+    lines.append(f"Content-Type: {content_type}")
+    lines.append(f"Content-Length: {len(payload)}")
+    for k, v in (extra_headers or {}).items():
+        lines.append(f"{k}: {v}")
+    head = ("\r\n".join(lines) + "\r\n\r\n").encode("utf-8")
+    return head + payload
+
+
+def response_record(
+    url: str,
+    round_no: int,
+    status: int,
+    content_type: str,
+    payload: bytes,
+    payload_digest: str | None,
+    extra_headers: dict[str, str] | None = None,
+) -> bytes:
+    block = http_block(status, content_type, payload, extra_headers)
+    h = {
+        "WARC-Record-ID": _record_id("response", url, round_no, payload_digest),
+        "WARC-Date": _warc_date(round_no),
+        "WARC-Target-URI": url,
+        "Content-Type": 'application/http;msgtype=response',
+    }
+    if payload_digest:
+        h["WARC-Payload-Digest"] = f"sha256:{payload_digest}"
+    return build_record("response", h, block)
+
+
+def revisit_record(
+    url: str,
+    round_no: int,
+    status: int,
+    content_type: str,
+    payload_digest: str | None,
+    extra_headers: dict[str, str] | None = None,
+) -> bytes:
+    """Identical-payload-digest revisit: headers-only block, no payload
+    (crawl/crawl.go:96-99 discipline)."""
+    block = http_block(status, content_type, b"", extra_headers)
+    h = {
+        "WARC-Record-ID": _record_id("revisit", url, round_no, payload_digest),
+        "WARC-Date": _warc_date(round_no),
+        "WARC-Target-URI": url,
+        "WARC-Profile": _REVISIT_PROFILE,
+        "Content-Type": 'application/http;msgtype=response',
+    }
+    if payload_digest:
+        h["WARC-Payload-Digest"] = f"sha256:{payload_digest}"
+    return build_record("revisit", h, block)
+
+
+class WarcWriter:
+    """Rotating .warc.gz writer: one gzip member per record (standard
+    concatenated-member layout), rotate at ``rotate_bytes`` of
+    compressed output (crawl/warc.go:11-26's 1 GB default, scaled down
+    by callers for tests)."""
+
+    def __init__(self, out_dir: str, prefix: str, round_no: int,
+                 rotate_bytes: int = 1 << 30):
+        self.out_dir = out_dir
+        self.prefix = prefix
+        self.round_no = round_no
+        self.rotate_bytes = rotate_bytes
+        self.seq = -1
+        self.fh = None
+        self.files: list[str] = []
+        self.file_records: list[int] = []
+        self.file_bytes: list[int] = []
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _roll(self) -> None:
+        if self.fh is not None:
+            self.fh.close()
+        self.seq += 1
+        name = f"{self.prefix}-{self.seq:05d}.warc.gz"
+        path = os.path.join(self.out_dir, name)
+        self.fh = open(path, "wb")
+        self.files.append(path)
+        self.file_records.append(0)
+        self.file_bytes.append(0)
+        self._member(warcinfo_record(name, self.round_no))
+
+    def _member(self, record: bytes) -> None:
+        # mtime=0 + fixed filename keep the gzip member deterministic
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(record)
+        data = buf.getvalue()
+        self.fh.write(data)
+        self.file_bytes[-1] += len(data)
+        self.file_records[-1] += 1
+
+    def add(self, record: bytes) -> None:
+        if self.fh is None or self.fh.tell() >= self.rotate_bytes:
+            self._roll()
+        self._member(record)
+
+    def close(self) -> None:
+        if self.fh is not None:
+            self.fh.close()
+            self.fh = None
+
+
+# ---------------------------------------------------------------------------
+# parsing (pure stdlib)
+# ---------------------------------------------------------------------------
+
+def parse_warc_stream(data: bytes) -> Iterator[dict]:
+    """Iterate records of a .warc.gz byte string (or uncompressed WARC).
+    Yields dicts: {type, headers, block}."""
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)  # handles concatenated members
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        head_end = data.index(b"\r\n\r\n", pos)
+        head = data[pos:head_end].decode("utf-8")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad record header at {pos}: {lines[0]!r}")
+        headers: dict[str, str] = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip()] = v.strip()
+        clen = int(headers["Content-Length"])
+        block = data[head_end + 4:head_end + 4 + clen]
+        yield {
+            "type": headers.get("WARC-Type", ""),
+            "headers": headers,
+            "block": block,
+        }
+        pos = head_end + 4 + clen
+
+
+def parse_http_block(block: bytes) -> tuple[int, dict[str, str], bytes]:
+    """(status, headers, body) of a synthesized/recorded HTTP response."""
+    head_end = block.index(b"\r\n\r\n")
+    head = block[:head_end].decode("utf-8", "replace")
+    lines = head.split("\r\n")
+    status = int(lines[0].split(" ", 2)[1])
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    return status, headers, block[head_end + 4:]
+
+
+# ---------------------------------------------------------------------------
+# Spark sink / source
+# ---------------------------------------------------------------------------
+
+_SINK_COLS = ["url", "status", "image_id", "bytes", "w", "h", "fmt",
+              "caption", "phash", "round", "payload_digest", "revisit"]
+
+
+def _write_batches(out_dir: str, rotate_bytes: int):
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        writer = WarcWriter(out_dir, f"zeno-{pid:05d}", 0,
+                            rotate_bytes=rotate_bytes)
+        for b in batches:
+            idx = {n: i for i, n in enumerate(b.schema.names)}
+
+            def val(name, i):
+                v = b.column(idx[name])[i]
+                return v.as_py() if v.is_valid else None
+
+            for i in range(b.num_rows):
+                url = val("url", i)
+                status = val("status", i) or 0
+                fmt = val("fmt", i)
+                round_no = val("round", i) or 0
+                writer.round_no = round_no
+                ct = f"image/{fmt}" if fmt else "text/html"
+                xh = {}
+                for c in _X_HEADERS:
+                    v = val(c, i)
+                    if v is not None:
+                        xh[f"X-Zeno-{c.replace('_', '-').title()}"] = str(v)
+                digest = val("payload_digest", i)
+                if val("revisit", i):
+                    rec = revisit_record(url, round_no, status, ct, digest, xh)
+                else:
+                    payload = val("bytes", i) or b""
+                    rec = response_record(
+                        url, round_no, status, ct, payload, digest, xh)
+                writer.add(rec)
+        writer.close()
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(writer.files, type=pa.string()),
+                pa.array(writer.file_records, type=pa.int64()),
+                pa.array(writer.file_bytes, type=pa.int64()),
+            ],
+            names=["warc_file", "records", "bytes"],
+        )
+    return gen
+
+
+def write_warc(
+    fetched: DataFrame, out_dir: str, rotate_bytes: int = 1 << 30
+) -> DataFrame:
+    """Export fetched-table rows to .warc.gz, one file-series per
+    partition (distributed, no shuffle: the payload column flows
+    parquet scan -> worker -> gzip stream).  Returns the manifest
+    DataFrame; collecting it is the action that runs the export."""
+    types = {f.name: f.dataType.simpleString() for f in WARC_ROWS.fields}
+    cols = [
+        (F.col(c) if c in fetched.columns
+         else F.lit(None).cast(types.get(c, "string"))).alias(c)
+        for c in _SINK_COLS
+    ]
+    narrowed = fetched.select(*cols)
+    return narrowed.mapInArrow(
+        _write_batches(out_dir, rotate_bytes), schema=MANIFEST
+    )
+
+
+def _parse_file_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    names = [f.name for f in WARC_ROWS.fields]
+    for b in batches:
+        idx = {n: i for i, n in enumerate(b.schema.names)}
+        rows: list[dict] = []
+        for i in range(b.num_rows):
+            path = b.column(idx["path"])[i].as_py()
+            content = b.column(idx["content"])[i].as_py()
+            fname = path.split("/")[-1]
+            for rec in parse_warc_stream(content):
+                rtype = rec["type"]
+                if rtype == "warcinfo":
+                    continue
+                status, hh, body = parse_http_block(rec["block"])
+                digest = rec["headers"].get("WARC-Payload-Digest", "")
+                row = {
+                    "url": rec["headers"].get("WARC-Target-URI"),
+                    "record_type": rtype,
+                    "status": status,
+                    "image_id": hh.get("x-zeno-image-id"),
+                    "bytes": body if (rtype == "response" and body) else None,
+                    "w": int(hh["x-zeno-w"]) if "x-zeno-w" in hh else None,
+                    "h": int(hh["x-zeno-h"]) if "x-zeno-h" in hh else None,
+                    "fmt": hh.get("x-zeno-fmt"),
+                    "caption": hh.get("x-zeno-caption"),
+                    "phash": int(hh["x-zeno-phash"]) if "x-zeno-phash" in hh else None,
+                    "payload_digest": digest.removeprefix("sha256:") or None,
+                    "revisit": rtype == "revisit",
+                    "round": None,
+                    "warc_file": fname,
+                }
+                rows.append(row)
+        arrays = [
+            pa.array([r[f.name] for r in rows], type=_pa_type(f.dataType))
+            for f in WARC_ROWS.fields
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def _pa_type(dt: T.DataType):
+    return {
+        "string": pa.string(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "binary": pa.binary(),
+        "boolean": pa.bool_(),
+    }[dt.simpleString()]
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Load .warc.gz files into the fetched-row shape.  Uses the
+    binaryFile source (one task per file — WARC members don't split,
+    same as every WARC processing stack) + an Arrow parser."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInArrow(_parse_file_batches, schema=WARC_ROWS)

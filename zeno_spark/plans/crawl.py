@@ -40,6 +40,7 @@ from zeno_spark.functions import urls as U
 from zeno_spark.operators import dedup
 from zeno_spark.operators.admission import apply_admission, apply_robots_gate
 from zeno_spark.operators.extract import (
+    content_candidates,
     extract_candidates,
     redirect_candidates,
     sitespecific_candidates,
@@ -91,12 +92,18 @@ class CrawlJob:
         clock=None,
         disk_free=None,
         sleep=None,
+        transport=None,
     ):
         import shutil as _shutil
         import time as _time
 
         self.spark = spark
         self.cfg = cfg
+        # fetch transport seam (operators/transport.py): None -> the
+        # pages-table origin; an HttpTransport here turns the same plan
+        # into a live crawler (tested against a local origin server in
+        # tests/test_transport.py)
+        self.transport = transport
         # injectable probes for the O7/O8 lifecycle guards (tests pass
         # fakes; production uses the real clock / statvfs)
         self._clock = clock or _time.monotonic
@@ -252,7 +259,7 @@ class CrawlJob:
         # stats + a dictionary attempt per BINARY cell — measured:
         # minutes of pure CPU on a GB-scale corpus, anti-scaling with
         # task slots), never shuffle, and never round-trip Python.
-        results = fetch_meta(sched, self.pages, cfg).cache()
+        results = fetch_meta(sched, self.pages, cfg, transport=self.transport).cache()
         # Materialize NOW, in one clean job, before any action whose
         # plan broadcasts a subtree of it: Spark launches broadcast-
         # exchange jobs concurrently ahead of the main query, and on a
@@ -270,13 +277,27 @@ class CrawlJob:
         else:
             sink_src = ok
         # sink pass: bytes rejoin from a second column-pruned origin
-        # scan (parquet scan -> parquet write, no Python, no shuffle)
-        fetched_rows = to_fetched_rows(
-            attach_sink_payloads(sink_src, self.pages), round_no
-        )
+        # scan (parquet scan -> parquet write, no Python, no shuffle).
+        # A live transport has no origin table to re-scan — its payload
+        # bytes were already recorded to WARC as they streamed
+        # (transport.warc_dir), so the table row keeps metadata+digest
+        # only, like the reference's WARC-pointer records.
+        if self.pages is not None:
+            sink_full = attach_sink_payloads(sink_src, self.pages)
+        else:
+            sink_full = sink_src.withColumn(
+                "bytes", F.lit(None).cast("binary")
+            )
+        fetched_rows = to_fetched_rows(sink_full, round_no)
 
-        ok_html = ok.filter(F.col("content_type") == "text/html")
-        cand = extract_candidates(ok_html, self.links, cfg, round_no)
+        if getattr(self.transport, "extract", False):
+            # live extraction: the transport worker already ran P1-P12
+            # on each body; candidates explode out of the result arrays
+            # (covers every content type the extractors route)
+            cand = content_candidates(ok, cfg, round_no)
+        else:
+            ok_html = ok.filter(F.col("content_type") == "text/html")
+            cand = extract_candidates(ok_html, self.links, cfg, round_no)
         cand = cand.unionByName(redirect_candidates(redirects, cfg, round_no))
         if cfg.sitespecific_expand:
             # §2.7 derived captures (API/embed/CDN rewrites) join the
@@ -430,6 +451,17 @@ class CrawlJob:
             F.lit(round_no).cast("int").alias("round"),
         )
         return self.metadata.append(rows)
+
+    def phash_near_dups(self, max_hamming: int = 3) -> DataFrame:
+        """Perceptual near-dup marks over the fetched sink — the
+        phash-tier extension of D8 (byte-identical revisit records,
+        crawl/crawl.go:96-99): re-encoded/recompressed copies of an
+        already-captured picture, keyed to their earlier keeper.  Run it
+        like compaction — an offline/post-round maintenance job reading
+        the committed snapshot; it never mutates round state."""
+        from zeno_spark.datapipe.multimodal import phash_near_dup_marks
+
+        return phash_near_dup_marks(self.fetched.read(), max_hamming)
 
     def compact(self) -> None:
         """Fold claimed-deletes into the frontier (Iceberg RewriteDataFiles
