@@ -42,6 +42,10 @@ def main() -> None:
     ap.add_argument("--bloom", action="store_true", default=True)
     ap.add_argument("--no-bloom", dest="bloom", action="store_false")
     ap.add_argument("--robots", action="store_true")
+    ap.add_argument("--live-robots", action="store_true",
+                    help="with --live: fetch+parse each host's "
+                         "/robots.txt through the transport (F10 live "
+                         "tier) instead of needing a pre-built table")
     ap.add_argument("--cores", type=int, default=None,
                     help="local-mode cores (ignored under spark-submit --master)")
     ap.add_argument("--synthetic-pages", type=int, default=0,
@@ -104,7 +108,8 @@ def main() -> None:
         per_host_budget=args.per_host_budget,
         host_salt_buckets=args.salt_buckets,
         bloom_prefilter=args.bloom,
-        robots=args.robots,
+        robots=args.robots or args.live_robots,
+        live_robots=args.live_robots,
         max_rounds=args.rounds,
     )
     transport = None

@@ -308,6 +308,97 @@ def test_live_extract_crawl_equals_table_crawl(
     assert tm == lm
 
 
+def test_live_robots_crawl_equals_table_robots(
+    spark, corpus, cfg, tmp_path
+):
+    """F10 live tier: the crawler fetches /robots.txt itself through the
+    transport (cfg.live_robots) and must match a table-side crawl given
+    the equivalent pre-built robots table.  Hosts without a robots file
+    404 -> allow-all; one host disallows its /img/ tree, another its
+    /p/ tree."""
+    import html as html_mod
+
+    from pyspark.sql import Row
+
+    from zeno_spark import schemas as S
+
+    hosts = sorted(
+        r.host for r in corpus["pages"].select("host").distinct().collect()
+    )
+    robots_rules = {hosts[0]: ["/img/"], hosts[1]: ["/p/"]}
+
+    edges: dict[str, list] = {}
+    for r in corpus["links"].collect():
+        edges.setdefault(r.src_url, []).append((r.dst_url, r.kind))
+    rows = {}
+    for r in corpus["pages"].collect():
+        d = r.asDict()
+        if d["content_type"] == "text/html":
+            tags = []
+            for dst, kind in edges.get(d["url"], []):
+                esc = html_mod.escape(dst, quote=True)
+                tags.append(f'<img src="{esc}">' if kind == "asset"
+                            else f'<a href="{esc}">go</a>')
+            d["bytes"] = (
+                f"<html><!-- {d['url']} --><body>"
+                + "".join(tags) + "</body></html>"
+            ).encode("utf-8")
+        rows[d["url"]] = d
+    for host, prefixes in robots_rules.items():
+        body = ("User-agent: *\n"
+                + "".join(f"Disallow: {p}\n" for p in prefixes)).encode()
+        rows[f"http://{host}/robots.txt"] = {
+            "url": f"http://{host}/robots.txt", "status": 200,
+            "content_type": "text/plain", "bytes": body,
+            "redirect_to": None, "image_id": None, "w": None, "h": None,
+            "fmt": None, "caption": None, "phash": None,
+        }
+
+    class Handler(_OriginHandler):
+        corpus = rows
+        hits = {}
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        rcfg = CrawlConfig(**{**cfg.__dict__, "robots": True,
+                              "live_robots": True, "max_rounds": 6})
+        live = HttpTransport(proxy=url, timeout=15.0, max_retries=1,
+                             extract=True)
+        ljob = CrawlJob(spark, str(tmp_path / "wh_lr"), None, None, rcfg,
+                        transport=live)
+        lstats = ljob.run(seeds=corpus["seeds"], max_rounds=rcfg.max_rounds)
+
+        robots_df = spark.createDataFrame(
+            [Row(host=h, disallow_prefixes=robots_rules.get(h, []),
+                 crawl_delay=None) for h in hosts],
+            schema=S.ROBOTS,
+        )
+        tcfg = CrawlConfig(**{**cfg.__dict__, "robots": True,
+                              "max_rounds": 6})
+        tjob = CrawlJob(spark, str(tmp_path / "wh_tr"), corpus["pages"],
+                        corpus["links"], tcfg, robots=robots_df)
+        tstats = tjob.run(seeds=corpus["seeds"], max_rounds=tcfg.max_rounds)
+
+        assert [s.__dict__ for s in tstats] == [s.__dict__ for s in lstats]
+        blocked = {
+            r.url
+            for r in tjob.fetched.read().collect()
+            if any(r.url.startswith(f"http://{h}{p}")
+                   for h, ps in robots_rules.items() for p in ps)
+        }
+        assert not blocked  # the gate actually gated
+        tf = {(r.url, r.round, r.status) for r in tjob.fetched.read().collect()}
+        lf = {(r.url, r.round, r.status) for r in ljob.fetched.read().collect()}
+        assert tf == lf
+        tseen = {(r.url, r.type) for r in tjob.seen.read().collect()}
+        lseen = {(r.url, r.type) for r in ljob.seen.read().collect()}
+        assert tseen == lseen
+    finally:
+        srv.shutdown()
+
+
 def test_live_warc_capture_matches_corpus(spark, corpus, live_run):
     """Streaming WARC capture from the live workers: every 200-image
     response's recorded payload byte-equals the corpus payload."""

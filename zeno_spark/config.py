@@ -21,6 +21,12 @@ class CrawlConfig:
     domains_crawl: bool = False                # F8 (outlinks.go:100-164)
     robots: bool = False                       # F10 — north-rule addition, off for
                                                # reference-parity runs
+    live_robots: bool = False                  # F10 live tier: fetch+parse each
+                                               # host's /robots.txt through the
+                                               # crawl's transport (live crawls
+                                               # have no pre-built robots table);
+                                               # cache refreshed per round for
+                                               # hosts not yet covered
 
     # fetch routing (X4, capture.go:60-64, crawl/crawl.go:134-148)
     proxy: str | None = None                   # proxied client when set

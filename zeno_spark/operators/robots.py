@@ -79,3 +79,49 @@ def robots_table_from_bodies(bodies: DataFrame) -> DataFrame:
     return bodies.select("host", "body").mapInPandas(
         _parse, schema=schemas.ROBOTS
     )
+
+
+def fetch_robots_live(hosts: DataFrame, transport) -> DataFrame:
+    """Fetch + parse http://<host>/robots.txt for each distinct host
+    through the live transport seam (operators/transport.py) and return
+    robots-table rows.  Status semantics (RFC 9309 §2.3.1, simplified
+    to the conservative prefix-disallow model above):
+
+      * 200  -> parse the body;
+      * 404 / other definitive miss -> allow-all row (empty prefixes) —
+        "no robots file means no restrictions";
+      * unreachable (connection failure) -> allow-all TOO, but flagged
+        by crawl_delay=None like the 404 case; a deployment wanting the
+        RFC's stricter 5xx=disallow-all posture can post-filter.
+
+    One transport batch per host partition; the result is tiny (one row
+    per host) and feeds apply_robots_gate's broadcast join."""
+    from pyspark.sql import functions as F
+
+    from zeno_spark.functions.urls import fnv1a64_udf
+
+    url = F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
+    rows = hosts.select("host").distinct().select(
+        F.sha1(url).alias("id"),
+        url.alias("url"),
+        fnv1a64_udf(url).alias("url_hash"),
+        F.col("host"),
+        F.lit(None).cast("string").alias("parent_url"),
+        F.lit(0).alias("hop"),
+        F.lit("robots").alias("type"),
+        F.lit(True).alias("bypass_seencheck"),
+        F.lit(0).alias("redirect"),
+        F.lit(0).alias("retry"),
+        F.lit(0).cast("long").alias("enqueue_seq"),
+        F.lit(0).alias("discovered_round"),
+        F.lit(0).alias("not_before_round"),
+    )
+    resp = transport.responses(rows)
+    bodies = resp.select(
+        "host",
+        F.when(
+            F.col("__page_status") == 200,
+            F.decode(F.col("__bytes"), "UTF-8"),
+        ).alias("body"),
+    )
+    return robots_table_from_bodies(bodies)

@@ -249,6 +249,10 @@ class CrawlJob:
         pending = self.pending_frontier()
         eligible = schedulable(pending, round_no)
         gated = apply_admission(eligible, cfg)
+        if cfg.robots and cfg.live_robots and self.transport is not None:
+            # F10 live tier: fetch robots.txt through the transport for
+            # hosts not yet in the cache, BEFORE the gate reads it
+            self._refresh_robots(gated)
         if cfg.robots and self.robots is not None:
             gated = apply_robots_gate(gated, self.robots)
         sched = politeness_schedule(gated, cfg).cache()
@@ -451,6 +455,32 @@ class CrawlJob:
             F.lit(round_no).cast("int").alias("round"),
         )
         return self.metadata.append(rows)
+
+    def _refresh_robots(self, admitted: DataFrame) -> None:
+        """Extend the robots cache with freshly-fetched rows for hosts
+        this round would touch that the cache doesn't cover yet.  The
+        cache is one tiny row per host (it feeds a broadcast join), so
+        the per-round cost is one bounded transport batch — and zero
+        jobs on rounds that introduce no new host."""
+        from zeno_spark.operators.robots import fetch_robots_live
+
+        hosts = admitted.select("host").distinct()
+        if self.robots is not None:
+            hosts = hosts.join(
+                self.robots.select("host"), "host", "left_anti"
+            )
+        new = fetch_robots_live(hosts, self.transport).cache()
+        if new.count() == 0:
+            new.unpersist()
+            return
+        if self.robots is None:
+            self.robots = new
+            return
+        merged = self.robots.unionByName(new).cache()
+        merged.count()  # materialize before dropping the part caches
+        self.robots.unpersist()
+        new.unpersist()
+        self.robots = merged
 
     def phash_near_dups(self, max_hamming: int = 3) -> DataFrame:
         """Perceptual near-dup marks over the fetched sink — the
