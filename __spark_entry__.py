@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from zeno_spark import queries as Q  # noqa: E402
 from zeno_spark.datapipe import dedup as dd  # noqa: E402
+from zeno_spark.datapipe import multimodal as mm  # noqa: E402
 from zeno_spark.datapipe import similarity as sim  # noqa: E402
 from zeno_spark.datapipe import text as tx  # noqa: E402
 
@@ -98,6 +99,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(_docs(s, d)),
         "doc_simhash": lambda s, d: dd.simhash(_docs(s, d)),
         "dedup_simhash": lambda s, d: dd.simhash_pairs(_docs(s, d)),
+        # crawl-sink perceptual dedupe (phash_near_dup_marks) over a
+        # deterministic 64-bit key derived from the docs' simhash
+        "phash_near_dup": lambda s, d: mm.phash_marks_over_docs(_docs(s, d)),
         # similarity tier (datapipe/similarity.py)
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_embs(s, d)),
         "dedup_embedding": lambda s, d: sim.cosine_pairs(_embs(s, d)),
@@ -129,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": dd.minhash_lsh_pairs_sql(),
         "doc_simhash": dd.simhash_sql(),
         "dedup_simhash": dd.simhash_pairs_sql(),
+        "phash_near_dup": mm.phash_marks_sql(),
         "ann_cosine_topk": sim.cosine_topk_sql(),
         "dedup_embedding": sim.cosine_pairs_sql(),
         # deterministic plan (signature/probes/re-rank are pure

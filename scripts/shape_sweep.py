@@ -18,7 +18,8 @@ a fresh subprocess (cold JVM), interleaved lo/hi, per-leg best reported
 supplementary evidence, not the gating artifact): REPS x (lo, hi) + 1
 extra hi.
 
-Usage: python scripts/shape_sweep.py [pages] [reps]
+Usage: python scripts/shape_sweep.py [pages] [reps] [densities]
+  densities: comma-separated pages-per-host list (default "200,1000")
 Writes one JSON line per shape + a summary line.
 """
 
@@ -36,12 +37,16 @@ sys.path.insert(0, str(REPO))
 
 PAGES = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+_DENSITIES = (
+    [int(x) for x in sys.argv[3].split(",")] if len(sys.argv) > 3
+    else [200, 1000]
+)
 LOW, HIGH = 1, 4
 SF = 0.1
 
+_NAMES = {200: "dense-hosts", 1000: "sparse-hosts"}
 SHAPES = [
-    {"name": "dense-hosts", "density": 200},
-    {"name": "sparse-hosts", "density": 1000},
+    {"name": _NAMES.get(d, f"density-{d}"), "density": d} for d in _DENSITIES
 ]
 
 

@@ -48,8 +48,26 @@ def test_pair_operators_never_cartesian(docs, embs):
         dd.simhash_pairs(docs),
         sim.cosine_pairs(embs),
         mm.phash_pairs(phashes),
+        mm.phash_marks_over_docs(docs),
     ):
         assert "CartesianProduct" not in _plan(df)
+
+
+def test_content_candidates_stay_narrow(spark):
+    """Live-extraction candidates (explode of in-worker arrays) must be
+    a narrow chain over the fetch result — no shuffle, no join, until
+    the downstream dedupe needs one."""
+    from pyspark.sql import functions as F
+
+    from zeno_spark.config import CrawlConfig
+    from zeno_spark.operators.extract import content_candidates
+    from zeno_spark.operators.fetch import FETCH_META
+
+    ok = spark.createDataFrame([], schema=FETCH_META)
+    plan = _plan(content_candidates(ok, CrawlConfig(), 0))
+    assert "Exchange" not in plan  # no shuffle introduced
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_ann_plans_broadcast_the_small_side(embs):

@@ -105,3 +105,36 @@ def test_retry_rows(spark):
     assert r.url == "http://h.com/a" and r.retry == 1
     assert r.bypass_seencheck is True
     assert r.not_before_round == 7  # 5+1 + retry(1)*1
+
+
+def test_crawl_delay_shrinks_budget(spark):
+    """robots Crawl-delay -> per-round budget: one round models
+    cfg.round_seconds (60 s), so delay 30 allows 2 fetches/round,
+    delay 1000 clamps to 1, no delay keeps the full budget; results
+    identical with and without the salted phase-1 window."""
+    from pyspark.sql import Row
+
+    from zeno_spark import schemas as S
+
+    items = []
+    for h in ("slow.com", "crawl.com", "fast.com"):
+        for i in range(8):
+            items.append(_item(f"http://{h}/p/{i}", h, i))
+    f = _frontier(spark, items)
+    delays = spark.createDataFrame(
+        [Row(host="slow.com", disallow_prefixes=[], crawl_delay=1000.0),
+         Row(host="crawl.com", disallow_prefixes=[], crawl_delay=30.0),
+         Row(host="fast.com", disallow_prefixes=[], crawl_delay=None)],
+        schema=S.ROBOTS,
+    )
+    for salt in (1, 4):
+        cfg = CrawlConfig(per_host_budget=4, host_salt_buckets=salt)
+        got = politeness_schedule(f, cfg, delays=delays).collect()
+        per_host = {}
+        for r in got:
+            per_host.setdefault(r.host, []).append(r.enqueue_seq)
+        assert sorted(per_host["slow.com"]) == [0]            # clamp to 1
+        assert sorted(per_host["crawl.com"]) == [0, 1]        # 60/30
+        assert sorted(per_host["fast.com"]) == [0, 1, 2, 3]   # full budget
+        # schema unchanged: no helper columns leak
+        assert set(got[0].asDict()) == {fld.name for fld in S.FRONTIER.fields}

@@ -40,6 +40,12 @@ class CrawlConfig:
     host_salt_buckets: int = 1                 # >1 splits a hot host into salted
                                                # sub-partitions (north-rule skew tier);
                                                # budget stays per-host (exact via window)
+    respect_crawl_delay: bool = True           # map robots Crawl-delay to a shrunk
+                                               # per-round budget (schedule.py); the
+                                               # reference has NO delay enforcement
+    round_seconds: float = 60.0                # wall-clock a round models for the
+                                               # Crawl-delay -> budget mapping (same
+                                               # logical clock as streaming/live.py)
 
     # dedup
     use_seencheck: bool = True                 # D1-D7

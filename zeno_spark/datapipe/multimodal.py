@@ -202,6 +202,61 @@ def phash_near_dup_marks(
     )
 
 
+def phash_marks_over_docs(
+    docs: DataFrame, max_hamming: int = 7
+) -> DataFrame:
+    """Driver-contract surface for phash_near_dup_marks: the testdata
+    tables carry no images, so the 64-bit perceptual key is synthesized
+    deterministically from each document's 32-bit SimHash, duplicated
+    into both halves (low 32 = simhash, high 32 = simhash sans bit 31 —
+    the mask keeps the shift in BIGINT range for the DuckDB oracle).
+    Near-dup structure is preserved (hamming doubles, so the radius is
+    7 where the 32-bit radius was 3), and every pigeonhole block has
+    real entropy, so the operator's equi-join candidate generation is
+    exercised for real while the oracle computes the same marks from
+    the quadratic form."""
+    from zeno_spark.datapipe.dedup import simhash
+
+    sh = simhash(docs)
+    # doc_id casts to string on BOTH sides: the marks operator orders by
+    # its composite string key, so the oracle must order lexicographically
+    # too (a numeric doc_id would sort '2' after '10' only on one side)
+    fetched_like = sh.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).alias("round"),
+        F.lit(200).alias("status"),
+        F.lit(False).alias("revisit"),
+        F.shiftleft(F.col("simhash").bitwiseAND(F.lit(2147483647)), 32)
+        .bitwiseOR(F.col("simhash"))
+        .alias("phash"),
+    )
+    return phash_near_dup_marks(fetched_like, max_hamming=max_hamming)
+
+
+def phash_marks_sql(table: str = "documents", max_hamming: int = 7) -> str:
+    """DuckDB oracle for phash_marks_over_docs — quadratic pair form +
+    window keep-first, same (hamming, url) mark selection."""
+    from zeno_spark.datapipe.dedup import simhash_sql
+
+    return f"""
+    WITH sh AS ({simhash_sql(table)}),
+    ph AS (
+      SELECT doc_id::VARCHAR AS url,
+             (((simhash & 2147483647) << 32) | simhash) AS phash
+      FROM sh),
+    pairs AS (
+      SELECT a.url AS ua, b.url AS ub,
+             bit_count(xor(a.phash, b.phash))::INTEGER AS hamming
+      FROM ph a JOIN ph b ON a.url < b.url
+      WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming})
+    SELECT url, near_dup_of, hamming FROM (
+      SELECT ub AS url, ua AS near_dup_of, hamming,
+             row_number() OVER (PARTITION BY ub ORDER BY hamming, ua) AS rn
+      FROM pairs) t
+    WHERE rn = 1
+    """
+
+
 RESIZED = T.StructType(
     [
         T.StructField("image_id", T.StringType(), True),

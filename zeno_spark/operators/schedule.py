@@ -42,12 +42,26 @@ def schedulable(frontier: DataFrame, round_no: int) -> DataFrame:
     return frontier.filter(F.col("not_before_round") <= F.lit(round_no))
 
 
-def politeness_schedule(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """Pick this round's fetch set: per-host FIFO top-`per_host_budget`."""
+def politeness_schedule(
+    frontier: DataFrame, cfg: CrawlConfig, delays: DataFrame | None = None
+) -> DataFrame:
+    """Pick this round's fetch set: per-host FIFO top-`per_host_budget`.
+
+    ``delays`` (optional) is a tiny (host, crawl_delay) frame — the
+    robots cache — mapping a host's Crawl-delay to a SHRUNK per-round
+    budget: one round models ``cfg.round_seconds`` of wall clock (the
+    same logical clock streaming/live.py uses), so a host asking for
+    d-second spacing gets min(budget, max(1, floor(round_seconds/d)))
+    fetches per round.  The reference has no delay enforcement at all
+    (SURVEY §2.10); this is the F10-adjacent politeness tier the robots
+    column exists for.  Broadcast join — the delay side is one row per
+    host with a delay."""
     budget = cfg.per_host_budget
     df = frontier
     if cfg.host_salt_buckets > 1:
-        # phase 1 — salted local top-k (kills the hot-host single-task window)
+        # phase 1 — salted local top-k (kills the hot-host single-task
+        # window).  Uses the FULL budget: a delay only shrinks a host's
+        # final quota, so phase 1's survivors stay a superset.
         salt = F.pmod(F.col("url_hash"), F.lit(cfg.host_salt_buckets))
         w1 = Window.partitionBy("host", salt).orderBy(
             F.col("enqueue_seq").asc(), F.col("url_hash").asc()
@@ -57,15 +71,38 @@ def politeness_schedule(frontier: DataFrame, cfg: CrawlConfig) -> DataFrame:
             .filter(F.col("__r1") <= budget)
             .drop("__r1")
         )
+    budget_col = F.lit(budget)
+    if delays is not None:
+        d = F.broadcast(
+            delays.filter(F.col("crawl_delay").isNotNull())
+            .select(
+                F.col("host").alias("__d_host"),
+                F.col("crawl_delay").alias("__delay"),
+            )
+        )
+        df = df.join(d, df["host"] == F.col("__d_host"), "left")
+        budget_col = F.when(
+            F.col("__delay").isNotNull() & (F.col("__delay") > 0),
+            F.least(
+                F.lit(budget),
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(float(cfg.round_seconds)) / F.col("__delay")),
+                ),
+            ),
+        ).otherwise(F.lit(budget))
     # phase 2 — exact per-host FIFO rank (O2+O3+O4)
     w2 = Window.partitionBy("host").orderBy(
         F.col("enqueue_seq").asc(), F.col("url_hash").asc()
     )
-    return (
+    out = (
         df.withColumn("__rank", F.row_number().over(w2))
-        .filter(F.col("__rank") <= budget)
+        .filter(F.col("__rank") <= budget_col)
         .drop("__rank")
     )
+    if delays is not None:
+        out = out.drop("__d_host", "__delay")
+    return out
 
 
 def backoff_retry_rows(failed: DataFrame, round_no: int, cfg: CrawlConfig) -> DataFrame:

@@ -255,7 +255,13 @@ class CrawlJob:
             self._refresh_robots(gated)
         if cfg.robots and self.robots is not None:
             gated = apply_robots_gate(gated, self.robots)
-        sched = politeness_schedule(gated, cfg).cache()
+        delays = (
+            self.robots
+            if cfg.robots and cfg.respect_crawl_delay
+            and self.robots is not None
+            else None
+        )
+        sched = politeness_schedule(gated, cfg, delays=delays).cache()
 
         # NARROW fetch result (no payload bytes) — the ONLY cacheable
         # round intermediate.  Payload bytes never enter a cache (the
