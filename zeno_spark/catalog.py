@@ -160,6 +160,62 @@ class SnapshotTable:
             if v > version:
                 os.remove(os.path.join(self.manifest_dir, f"{v:010d}.json"))
 
+    # -- maintenance ----------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 16) -> int:
+        """Iceberg `expireSnapshots` analogue: fold history older than
+        ``current - keep_last`` into a single base manifest and delete
+        data files no remaining manifest references (rewrite shadows +
+        rollback orphans).  Versions within ``keep_last`` of the head
+        stay time-travelable / rollback-able — callers must keep that
+        window at least as deep as their recovery watermark (the crawl
+        keeps every round marker's versions inside it).  Returns the
+        number of data files deleted.
+
+        Crash-safe ordering: the folded base manifest is atomically
+        renamed into place FIRST (a rewrite-op manifest shadows every
+        older one on read), so a crash between the steps leaves a
+        consistent, merely-unexpired table."""
+        versions = self._manifest_versions()
+        if not versions:
+            return 0
+        floor = self.current_version() - keep_last
+        to_fold = [v for v in versions if v <= floor]
+        if to_fold:
+            base_files = self._live_files(floor_v := to_fold[-1])
+            base_rows = self.row_count(floor_v)
+            manifest = {"op": "rewrite", "added": base_files,
+                        "rows": base_rows, "version": floor_v}
+            tmp = os.path.join(
+                self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.rename(
+                tmp, os.path.join(self.manifest_dir, f"{floor_v:010d}.json"))
+            for v in to_fold[:-1]:
+                os.remove(os.path.join(self.manifest_dir, f"{v:010d}.json"))
+        # orphan sweep: any data file not referenced by a live manifest
+        referenced: set[str] = set()
+        for v in self._manifest_versions():
+            referenced.update(self._read_manifest(v)["added"])
+        removed = 0
+        for d in os.listdir(self.data_dir):
+            sub = os.path.join(self.data_dir, d)
+            if not os.path.isdir(sub):
+                continue
+            for f in os.listdir(sub):
+                p = os.path.join(sub, f)
+                if f.endswith(".parquet") and p not in referenced:
+                    os.remove(p)
+                    removed += 1
+                elif f.startswith(".") or f.endswith(".crc") or f == "_SUCCESS":
+                    # writer sidecars are dead weight once expired files go
+                    if not any(r.startswith(sub + os.sep) for r in referenced):
+                        os.remove(p)
+            if not os.listdir(sub):
+                os.rmdir(sub)
+        return removed
+
 
 class Catalog:
     """Namespace of SnapshotTables under one warehouse directory."""

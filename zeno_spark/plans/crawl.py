@@ -502,12 +502,18 @@ class CrawlJob:
     def compact(self) -> None:
         """Fold claimed-deletes into the frontier (Iceberg RewriteDataFiles
         analogue) so pending_frontier stays an O(live) scan as rounds
-        accumulate."""
+        accumulate; then expire snapshot history outside the recovery
+        window (Iceberg expireSnapshots analogue) so manifests and
+        shadowed/orphaned data files don't grow without bound over a
+        long crawl.  keep_last=16 comfortably covers every version the
+        last committed round marker can roll back to."""
         live = self.pending_frontier().cache()
         live.count()
         self.frontier.rewrite(live)
         self.claimed.truncate()
         live.unpersist()
+        for t in _TABLES:
+            getattr(self, t).expire_snapshots(keep_last=16)
 
     # ------------------------------------------------------------------
     # the fixpoint loop (O10)
