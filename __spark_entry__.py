@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from zeno_spark import queries as Q  # noqa: E402
+from zeno_spark.datapipe import clusters as cl  # noqa: E402
 from zeno_spark.datapipe import dedup as dd  # noqa: E402
 from zeno_spark.datapipe import multimodal as mm  # noqa: E402
 from zeno_spark.datapipe import similarity as sim  # noqa: E402
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash": lambda s, d: dd.minhash_signatures(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: dd.minhash_lsh_pairs(_docs(s, d)),
         "doc_simhash": lambda s, d: dd.simhash(_docs(s, d)),
+        "dedup_clusters": lambda s, d: cl.dedup_clusters(_docs(s, d)),
         "dedup_simhash": lambda s, d: dd.simhash_pairs(_docs(s, d)),
         # crawl-sink perceptual dedupe (phash_near_dup_marks) over a
         # deterministic 64-bit key derived from the docs' simhash
@@ -132,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash": dd.minhash_signatures_sql(),
         "dedup_minhash_lsh": dd.minhash_lsh_pairs_sql(),
         "doc_simhash": dd.simhash_sql(),
+        "dedup_clusters": cl.dedup_clusters_sql(),
         "dedup_simhash": dd.simhash_pairs_sql(),
         "phash_near_dup": mm.phash_marks_sql(),
         "ann_cosine_topk": sim.cosine_topk_sql(),

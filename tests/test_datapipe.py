@@ -430,3 +430,64 @@ def test_minhash_lsh_prunes_but_keeps_candidate_results(docs):
     }
     for r in dd.minhash_lsh_pairs(docs, t_num=7, t_den=10).collect():
         assert exact[(r.doc_a, r.doc_b)] == (r.n_inter, r.n_union)
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_vs_union_find(spark):
+    """Generic CC (hash-min + pointer jumping) against brute-force
+    union-find on a shape mix that forces multi-round convergence: a
+    20-node chain (diameter 19 — pointer jumping must halve paths), a
+    clique, a triangle reached through one bridge node, singletons."""
+    from zeno_spark.datapipe import clusters as cl
+
+    chain = [(i, i + 1) for i in range(100, 120)]
+    clique = [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    bridge = [(300, 301), (301, 302), (302, 300), (302, 303)]
+    edges = chain + clique + bridge
+    nodes = sorted({n for e in edges for n in e} | {400, 401})
+    want = _union_find(nodes, edges)
+
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.cluster_id
+        for r in cl.connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == want
+
+
+def test_dedup_clusters_match_union_find_over_simhash_pairs(docs):
+    """dedup_clusters must equal union-find over the simhash pair graph:
+    same components (component-min labels), correct sizes, exactly one
+    keep per cluster, singletons kept."""
+    from zeno_spark.datapipe import clusters as cl
+
+    doc_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    pairs = [(r.doc_a, r.doc_b) for r in dd.simhash_pairs(docs).collect()]
+    assert pairs, "fixture produced no near-dup pairs — test is vacuous"
+    want = _union_find(doc_ids, pairs)
+
+    rows = cl.dedup_clusters(docs).collect()
+    assert {r.doc_id: r.cluster_id for r in rows} == want
+    from collections import Counter
+
+    sizes = Counter(want.values())
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.keep == int(r.doc_id == r.cluster_id)
+    assert sum(r.keep for r in rows) == len(sizes)
