@@ -138,3 +138,31 @@ def test_crawl_delay_shrinks_budget(spark):
         assert sorted(per_host["fast.com"]) == [0, 1, 2, 3]   # full budget
         # schema unchanged: no helper columns leak
         assert set(got[0].asDict()) == {fld.name for fld in S.FRONTIER.fields}
+
+
+def test_lifo_strategy_pops_newest_first(spark):
+    """schedule_strategy='lifo' (the HQ feed's default, cmd/get_hq.go:55
+    -> hq.go:180): within each host the NEWEST enqueue_seq wins, budget
+    and salting semantics unchanged; salted plan stays exact."""
+    items = [_item(f"http://h.com/{i}", "h.com", 100 - i) for i in range(10)]
+    f = _frontier(spark, items)
+    sched = politeness_schedule(
+        f, CrawlConfig(per_host_budget=3, schedule_strategy="lifo")
+    ).collect()
+    # LIFO: the 3 LARGEST enqueue_seq values = urls 0, 1, 2
+    assert sorted(r.url for r in sched) == [
+        "http://h.com/0", "http://h.com/1", "http://h.com/2"
+    ]
+    many = [
+        _item(f"http://hot.com/{i}", "hot.com", i) for i in range(200)
+    ] + [_item(f"http://cold{i}.com/x", f"cold{i}.com", 1000 + i) for i in range(5)]
+    fm = _frontier(spark, many)
+    plain = politeness_schedule(
+        fm, CrawlConfig(per_host_budget=16, host_salt_buckets=1,
+                        schedule_strategy="lifo"))
+    salted = politeness_schedule(
+        fm, CrawlConfig(per_host_budget=16, host_salt_buckets=8,
+                        schedule_strategy="lifo"))
+    got = {r.url for r in salted.collect()}
+    assert got == {r.url for r in plain.collect()}
+    assert "http://hot.com/199" in got and "http://hot.com/0" not in got

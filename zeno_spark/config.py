@@ -40,6 +40,12 @@ class CrawlConfig:
     host_salt_buckets: int = 1                 # >1 splits a hot host into salted
                                                # sub-partitions (north-rule skew tier);
                                                # budget stays per-host (exact via window)
+    schedule_strategy: str = "fifo"            # within-host dequeue order: "fifo"
+                                               # (local queue, index/index.go:82-90)
+                                               # or "lifo" (the HQ feed's default
+                                               # strategy — cmd/get_hq.go:55,
+                                               # consumed hq.go:180): newest
+                                               # enqueue_seq first
     respect_crawl_delay: bool = True           # map robots Crawl-delay to a shrunk
                                                # per-round budget (schedule.py); the
                                                # reference has NO delay enforcement

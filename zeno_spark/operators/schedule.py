@@ -57,15 +57,24 @@ def politeness_schedule(
     column exists for.  Broadcast join — the delay side is one row per
     host with a delay."""
     budget = cfg.per_host_budget
+    # within-host order: FIFO (the local queue, index/index.go:82-90) or
+    # LIFO (the HQ feed's default strategy, cmd/get_hq.go:55 /
+    # hq.go:180).  Both phases below MUST share the order: phase 1's
+    # per-salt-bucket top-k is a superset of the per-host top-k under
+    # any fixed total order, which is what keeps the salted plan exact.
+    seq = (
+        F.col("enqueue_seq").asc()
+        if cfg.schedule_strategy != "lifo"
+        else F.col("enqueue_seq").desc()
+    )
+    order = [seq, F.col("url_hash").asc()]
     df = frontier
     if cfg.host_salt_buckets > 1:
         # phase 1 — salted local top-k (kills the hot-host single-task
         # window).  Uses the FULL budget: a delay only shrinks a host's
         # final quota, so phase 1's survivors stay a superset.
         salt = F.pmod(F.col("url_hash"), F.lit(cfg.host_salt_buckets))
-        w1 = Window.partitionBy("host", salt).orderBy(
-            F.col("enqueue_seq").asc(), F.col("url_hash").asc()
-        )
+        w1 = Window.partitionBy("host", salt).orderBy(*order)
         df = (
             df.withColumn("__r1", F.row_number().over(w1))
             .filter(F.col("__r1") <= budget)
@@ -92,9 +101,7 @@ def politeness_schedule(
             ),
         ).otherwise(F.lit(budget))
     # phase 2 — exact per-host FIFO rank (O2+O3+O4)
-    w2 = Window.partitionBy("host").orderBy(
-        F.col("enqueue_seq").asc(), F.col("url_hash").asc()
-    )
+    w2 = Window.partitionBy("host").orderBy(*order)
     out = (
         df.withColumn("__rank", F.row_number().over(w2))
         .filter(F.col("__rank") <= budget_col)
