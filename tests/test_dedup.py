@@ -89,3 +89,52 @@ def test_bloom_overflow_tier_is_exact(spark):
         for r in dedup.dedupe_against_seen(cand, seen, use_bloom=True, n_buckets=2).collect()
     }
     assert plain == cuckooed and len(plain) == 50
+
+
+def test_incremental_bloom_merge_no_false_negatives(spark):
+    """merge_bloom_index: ORing round deltas into a persisted index must
+    keep EVERY seen key 'maybe' (no false negatives), across multiple
+    merges, fresh buckets, and capacity-forced rebuild flags."""
+    r0 = [f"http://h.com/a{i}" for i in range(40)]
+    r1 = [f"http://h.com/b{i}" for i in range(40)]
+    r2 = [f"http://h.com/c{i}" for i in range(40)]
+    idx = dedup.build_bloom_index(_seen(spark, r0), n_buckets=4, headroom=2)
+    for delta in (r1, r2):
+        merged = dedup.merge_bloom_index(
+            idx, _seen(spark, delta), n_buckets=4
+        )
+        assert merged.filter(F.col("rebuild")).count() == 0  # headroom holds
+        idx = merged.drop("rebuild")
+    tagged = dedup.bloom_prefilter(
+        _cand(spark, r0 + r1 + r2), idx, n_buckets=4
+    )
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0
+
+    # unseen keys mostly pass (the filter actually filters)
+    fresh = dedup.bloom_prefilter(
+        _cand(spark, [f"http://x.com/new{i}" for i in range(200)]),
+        idx, n_buckets=4,
+    )
+    assert fresh.filter(~F.col("maybe_seen")).count() > 150
+
+
+def test_incremental_bloom_flags_rebuild_on_capacity(spark):
+    """A bucket whose design load would be exceeded is flagged (caller
+    rebuilds from seen); tiny min_bits forces the flag immediately."""
+    r0 = [f"http://h.com/a{i}" for i in range(10)]
+    big = [f"http://h.com/b{i}" for i in range(200)]
+    idx = dedup.build_bloom_index(
+        _seen(spark, r0), n_buckets=1, min_bits=64, max_bits=1 << 20,
+        headroom=1,
+    )
+    merged = dedup.merge_bloom_index(
+        idx, _seen(spark, big), n_buckets=1, min_bits=64, max_bits=1 << 20
+    )
+    rows = merged.collect()
+    assert len(rows) == 1 and rows[0].rebuild
+    # the rebuild path (build from the union) restores no-false-negatives
+    rebuilt = dedup.build_bloom_index(
+        _seen(spark, r0 + big), n_buckets=1, headroom=2
+    )
+    tagged = dedup.bloom_prefilter(_cand(spark, r0 + big), rebuilt, n_buckets=1)
+    assert tagged.filter(~F.col("maybe_seen")).count() == 0

@@ -35,7 +35,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_BLOOM_SCHEMA = "bucket int, m_bits long, k int, overflow boolean, bits binary"
+_BLOOM_SCHEMA = (
+    "bucket int, m_bits long, k int, overflow boolean, bits binary, n_keys long"
+)
+_BLOOM_MERGE_SCHEMA = _BLOOM_SCHEMA + ", rebuild boolean"
 
 # ---------------------------------------------------------------------------
 # cuckoo overflow tier — kicks in when a bucket's key count would blow
@@ -171,57 +174,124 @@ def bucket_of(col, n_buckets: int):
     return F.pmod(F.col(col) if isinstance(col, str) else col, F.lit(n_buckets)).cast("int")
 
 
-def build_bloom_index(
-    seen: DataFrame, n_buckets: int = 32, bits_per_key: int = 10, k: int = 4,
-    min_bits: int = 1 << 12, max_bits: int = 1 << 27,
-) -> DataFrame:
-    """One filter per url_hash bucket, built distributed.  Returns a
-    small DataFrame (bucket, m_bits, k, overflow, bits).  A bucket whose
-    key count would blow past the bloom size cap overflows to the
-    CUCKOO tier (overflow=true, bits = serialized cuckoo table+stash):
-    same no-false-negative guarantee, so the prefilter-only discipline
-    holds in both tiers."""
+def _build_one_filter(
+    bucket: int, hashes: np.ndarray, bits_per_key: int, k: int,
+    min_bits: int, max_bits: int, headroom: int,
+) -> dict:
+    """One bucket's filter row as a plain dict.  ``headroom`` scales the
+    bloom's capacity past the current key count so the incremental
+    merge path (merge_bloom_index) can OR future rounds' keys in
+    without an immediate rebuild."""
     import struct
 
+    n = len(hashes)
+    m = min(max(int(n * bits_per_key * headroom), min_bits), max_bits)
+    m = (m + 63) // 64 * 64
+    overflow = n * bits_per_key > max_bits
+    if overflow:
+        table, stash = cuckoo_build(hashes)
+        payload = (
+            struct.pack("<QQ", len(table), len(stash))
+            + table.tobytes()
+            + stash.tobytes()
+        )
+        return {
+            "bucket": bucket, "m_bits": m, "k": k, "overflow": True,
+            "bits": payload, "n_keys": n,
+        }
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if n:
+        pos = _bloom_positions(hashes, m, k).ravel()
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return {
+        "bucket": bucket, "m_bits": m, "k": k, "overflow": False,
+        "bits": bits.tobytes(), "n_keys": n,
+    }
+
+
+def build_bloom_index(
+    seen: DataFrame, n_buckets: int = 32, bits_per_key: int = 10, k: int = 4,
+    min_bits: int = 1 << 12, max_bits: int = 1 << 27, headroom: int = 1,
+) -> DataFrame:
+    """One filter per url_hash bucket, built distributed.  Returns a
+    small DataFrame (bucket, m_bits, k, overflow, bits, n_keys).  A
+    bucket whose key count would blow past the bloom size cap overflows
+    to the CUCKOO tier (overflow=true, bits = serialized cuckoo
+    table+stash): same no-false-negative guarantee, so the
+    prefilter-only discipline holds in both tiers."""
     keyed = seen.select(bucket_of("url_hash", n_buckets).alias("bucket"), "url_hash")
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
-        hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
-        n = len(hashes)
-        m = min(max(int(n * bits_per_key), min_bits), max_bits)
-        m = (m + 63) // 64 * 64
-        overflow = n * bits_per_key > max_bits
-        if overflow:
-            table, stash = cuckoo_build(hashes)
-            payload = (
-                struct.pack("<QQ", len(table), len(stash))
-                + table.tobytes()
-                + stash.tobytes()
-            )
-            return pd.DataFrame(
-                {
-                    "bucket": [int(pdf["bucket"].iloc[0])],
-                    "m_bits": [m],
-                    "k": [k],
-                    "overflow": [True],
-                    "bits": [payload],
-                }
-            )
-        bits = np.zeros(m // 8, dtype=np.uint8)
-        if n:
-            pos = _bloom_positions(hashes, m, k).ravel()
-            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
-        return pd.DataFrame(
-            {
-                "bucket": [int(pdf["bucket"].iloc[0])],
-                "m_bits": [m],
-                "k": [k],
-                "overflow": [False],
-                "bits": [bits.tobytes()],
-            }
+        row = _build_one_filter(
+            int(pdf["bucket"].iloc[0]),
+            pdf["url_hash"].to_numpy(dtype=np.int64),
+            bits_per_key, k, min_bits, max_bits, headroom,
         )
+        return pd.DataFrame({c: [v] for c, v in row.items()})
 
     return keyed.groupBy("bucket").applyInPandas(_build, schema=_BLOOM_SCHEMA)
+
+
+def merge_bloom_index(
+    old_index: DataFrame, delta: DataFrame, n_buckets: int = 32,
+    bits_per_key: int = 10, k: int = 4,
+    min_bits: int = 1 << 12, max_bits: int = 1 << 27, headroom: int = 2,
+) -> DataFrame:
+    """Incremental D9 maintenance: OR only the DELTA round's url_hashes
+    into the persisted per-bucket filters, instead of rescanning the
+    full seen table every round (which at a 10^10-row seen set would be
+    the round's dominant scan).  Blooms are OR-mergeable, so this is
+    exact; the no-false-negative discipline is preserved because:
+
+      * a bucket with spare capacity gets the delta's positions ORed
+        into its existing bit array (same m_bits/k => same positions);
+      * a bucket whose total key count would exceed its design load
+        (n_keys * bits_per_key > m_bits), or one already in the cuckoo
+        overflow tier (batch-built, not insertable), is flagged
+        ``rebuild=true`` — the caller must rebuild it from the
+        post-append seen table (the exact authority), sized with
+        ``headroom`` so rebuilds amortize geometrically;
+      * a bucket with no existing row is built fresh from the delta.
+
+    Returns _BLOOM_SCHEMA + rebuild flag; only flagged buckets need the
+    seen scan, so steady-state rounds touch O(delta + index) bytes."""
+    keyed = delta.select(bucket_of("url_hash", n_buckets).alias("bucket"), "url_hash")
+
+    def _merge(key, old_pdf: pd.DataFrame, d_pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        hashes = d_pdf["url_hash"].to_numpy(dtype=np.int64)
+        if old_pdf.empty:
+            row = _build_one_filter(
+                bucket, hashes, bits_per_key, k, min_bits, max_bits, headroom
+            )
+            row["rebuild"] = False
+            return pd.DataFrame({c: [v] for c, v in row.items()})
+        old = old_pdf.iloc[0]
+        out = {
+            "bucket": bucket, "m_bits": int(old["m_bits"]),
+            "k": int(old["k"]), "overflow": bool(old["overflow"]),
+            "bits": bytes(old["bits"]),
+            "n_keys": int(old["n_keys"]) + len(hashes),
+            "rebuild": False,
+        }
+        if len(hashes) == 0:
+            return pd.DataFrame({c: [v] for c, v in out.items()})
+        if bool(old["overflow"]) or out["n_keys"] * bits_per_key > int(old["m_bits"]):
+            out["rebuild"] = True
+            return pd.DataFrame({c: [v] for c, v in out.items()})
+        bits = np.frombuffer(bytes(old["bits"]), dtype=np.uint8).copy()
+        m = int(old["m_bits"])
+        pos = _bloom_positions(hashes, m, int(old["k"])).ravel()
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        out["bits"] = bits.tobytes()
+        return pd.DataFrame({c: [v] for c, v in out.items()})
+
+    return (
+        old_index.withColumn("bucket", F.col("bucket").cast("int"))
+        .groupBy("bucket")
+        .cogroup(keyed.groupBy("bucket"))
+        .applyInPandas(_merge, schema=_BLOOM_MERGE_SCHEMA)
+    )
 
 
 def bloom_prefilter(
@@ -286,13 +356,23 @@ def dedupe_against_seen(
     seen: DataFrame,
     use_bloom: bool = False,
     n_buckets: int = 32,
+    bloom_index: DataFrame | None = None,
 ) -> DataFrame:
     """The full D1 check: optional bloom prefilter, then exact anti-join.
     Identical output with use_bloom True or False (prefilter-only
-    discipline — SURVEY §7 stage 3)."""
+    discipline — SURVEY §7 stage 3).  ``bloom_index``: a PERSISTED
+    index (the crawl's incrementally-maintained bloom table) to probe
+    instead of rebuilding from the full seen scan; it must be a
+    superset of ``seen``'s membership (stale-HIGH is safe — false
+    positives fall through to the exact anti-join; stale-LOW would
+    break the no-false-negative discipline, which the round-marker
+    rollback consistency guarantees against)."""
     if not use_bloom:
         return anti_join_seen(candidates, seen)
-    blooms = build_bloom_index(seen, n_buckets=n_buckets)
+    blooms = (
+        bloom_index if bloom_index is not None
+        else build_bloom_index(seen, n_buckets=n_buckets)
+    )
     tagged = bloom_prefilter(candidates, blooms, n_buckets=n_buckets)
     # one anti-join with maybe_seen as a residual condition: rows the
     # bloom cleared can never match, so they skip the probe and survive;

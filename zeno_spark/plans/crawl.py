@@ -58,7 +58,9 @@ from zeno_spark.operators.schedule import (
     schedulable,
 )
 
-_TABLES = ("frontier", "seen", "claimed", "fetched", "metrics", "metadata")
+_TABLES = (
+    "frontier", "seen", "claimed", "fetched", "metrics", "metadata", "bloom"
+)
 
 
 def _claim_key():
@@ -124,6 +126,7 @@ class CrawlJob:
         # capture.go:386-389): site-specific captures append here via
         # write_metadata_records; committed under the same round marker
         self.metadata = self.catalog.table("metadata", schemas.METADATA)
+        self.bloom = self.catalog.table("bloom", schemas.BLOOM)
         self.state_dir = os.path.join(warehouse, "_crawl_state")
         os.makedirs(self.state_dir, exist_ok=True)
 
@@ -164,14 +167,14 @@ class CrawlJob:
             with open(os.path.join(self.state_dir, f"{last:06d}.json")) as fh:
                 marker = json.load(fh)
             for t in _TABLES:
-                getattr(self, t).rollback_to(marker["versions"][t])
+                getattr(self, t).rollback_to(marker["versions"].get(t, 0))
             return last + 1
         seeded = os.path.join(self.state_dir, "seeded.json")
         if os.path.exists(seeded):
             with open(seeded) as fh:
                 marker = json.load(fh)
             for t in _TABLES:
-                getattr(self, t).rollback_to(marker["versions"][t])
+                getattr(self, t).rollback_to(marker["versions"].get(t, 0))
             return 0
         for t in _TABLES:
             getattr(self, t).rollback_to(0)
@@ -243,6 +246,52 @@ class CrawlJob:
         return self.frontier.read().join(
             claims, _claim_key() == F.col("_ck"), "left_anti"
         )
+
+    # ------------------------------------------------------------------
+    # D9 incremental bloom maintenance
+    # ------------------------------------------------------------------
+
+    def _bloom_index(self) -> DataFrame | None:
+        """The persisted prefilter state.  Bootstrapped from the seen
+        table the first time the flag is on for this warehouse (an
+        empty index over a non-empty seen set would be a
+        false-negative oracle); after that every round ORs only its
+        delta in (_update_bloom) — no full seen scan per round, which
+        at a 10^10-row seen set would otherwise dominate the round."""
+        if not self.cfg.bloom_prefilter:
+            return None
+        if self.bloom.current_version() == 0:
+            self.bloom.rewrite(
+                dedup.build_bloom_index(self.seen.read(), headroom=2)
+            )
+        return self.bloom.read()
+
+    def _update_bloom(self, new_hashes: DataFrame) -> None:
+        """Fold this round's newly-seen url_hashes into the bloom table.
+        Only buckets whose design load is exceeded (or that sit in the
+        batch-built cuckoo overflow tier) are rebuilt, from the
+        POST-append seen table — the exact authority — with 2x
+        headroom so rebuild cost amortizes geometrically.  Runs before
+        the round marker: a crash in between rolls bloom and seen back
+        together, preserving the superset invariant."""
+        merged = dedup.merge_bloom_index(
+            self.bloom.read(), new_hashes.select("url_hash")
+        ).cache()
+        flagged = [
+            r.bucket
+            for r in merged.filter(F.col("rebuild")).select("bucket").collect()
+        ]
+        keep = merged.filter(~F.col("rebuild")).drop("rebuild")
+        if flagged:
+            rebuilt = dedup.build_bloom_index(
+                self.seen.read().filter(
+                    dedup.bucket_of("url_hash", 32).isin(flagged)
+                ),
+                headroom=2,
+            )
+            keep = keep.unionByName(rebuilt)
+        self.bloom.rewrite(keep)
+        merged.unpersist()
 
     def run_round(self, round_no: int) -> RoundStats:
         cfg = self.cfg
@@ -318,7 +367,8 @@ class CrawlJob:
 
         in_batch = dedup.in_batch_dedupe(cand)
         new = dedup.dedupe_against_seen(
-            in_batch, self.seen.read(), use_bloom=cfg.bloom_prefilter
+            in_batch, self.seen.read(), use_bloom=cfg.bloom_prefilter,
+            bloom_index=self._bloom_index(),
         ).cache()
 
         frontier_cols = [f.name for f in schemas.FRONTIER.fields]
@@ -400,6 +450,11 @@ class CrawlJob:
             )
             fa.result()
             sa.result()
+        if cfg.bloom_prefilter:
+            # incremental D9 maintenance (no full seen rescan): must
+            # follow the seen append (rebuilds read the post-append
+            # table) and precede the marker (rollback consistency)
+            self._update_bloom(new)
         with ThreadPoolExecutor(max_workers=3) as pool:
             futs = [
                 pool.submit(self.frontier.append, new.unionByName(retries)),

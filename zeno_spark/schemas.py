@@ -55,6 +55,26 @@ SEEN = T.StructType(
 )
 
 # ---------------------------------------------------------------------------
+# bloom — the D9 prefilter's PERSISTED per-bucket state (incremental
+# maintenance: each round ORs only the newly-seen hashes in, instead of
+# rebuilding from the full seen table — operators/dedup.py
+# merge_bloom_index).  No reference analogue (the reference has no
+# bloom anywhere); rollback-consistent with `seen` via the round
+# marker, which is what keeps the no-false-negative discipline across
+# crash recovery.
+# ---------------------------------------------------------------------------
+BLOOM = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("m_bits", T.LongType(), False),
+        T.StructField("k", T.IntegerType(), False),
+        T.StructField("overflow", T.BooleanType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+        T.StructField("n_keys", T.LongType(), False),
+    ]
+)
+
+# ---------------------------------------------------------------------------
 # claimed — frontier rows consumed by a round (stand-in for Iceberg row
 # deletes; compacted periodically).  Not present in the reference — its
 # queue pops destructively (queue/dequeue.go:73-132).
