@@ -450,12 +450,7 @@ class CrawlJob:
             )
             fa.result()
             sa.result()
-        if cfg.bloom_prefilter:
-            # incremental D9 maintenance (no full seen rescan): must
-            # follow the seen append (rebuilds read the post-append
-            # table) and precede the marker (rollback consistency)
-            self._update_bloom(new)
-        with ThreadPoolExecutor(max_workers=3) as pool:
+        with ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
                 pool.submit(self.frontier.append, new.unionByName(retries)),
                 pool.submit(
@@ -466,6 +461,13 @@ class CrawlJob:
                 ),
                 pool.submit(self.metrics.append, metric_rows),
             ]
+            if cfg.bloom_prefilter:
+                # incremental D9 maintenance (no full seen rescan):
+                # must follow the seen append (rebuilds read the
+                # post-append table) and precede the marker (rollback
+                # consistency); independent of the sibling appends, so
+                # its latency hides behind them here
+                futs.append(pool.submit(self._update_bloom, new))
             for f in futs:
                 f.result()
         # round totals from the (cached) per-host lineage — one small agg
