@@ -41,6 +41,9 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=8)
     ap.add_argument("--bloom", action="store_true", default=True)
     ap.add_argument("--no-bloom", dest="bloom", action="store_false")
+    ap.add_argument("--strategy", choices=("fifo", "lifo"), default="fifo",
+                    help="within-host dequeue order (the reference's "
+                         "--hq-strategy, cmd/get_hq.go:55)")
     ap.add_argument("--robots", action="store_true")
     ap.add_argument("--live-robots", action="store_true",
                     help="with --live: fetch+parse each host's "
@@ -111,6 +114,7 @@ def main() -> None:
         robots=args.robots or args.live_robots,
         live_robots=args.live_robots,
         max_rounds=args.rounds,
+        schedule_strategy=args.strategy,
     )
     transport = None
     if args.live:

@@ -355,9 +355,9 @@ def test_fetch_missing_origin_is_native_404(spark):
 
     sched = spark.createDataFrame(
         [("i1", "http://h1.example/ok", 1, "h1.example", None, 0, "seed",
-          False, 0, 0, 1, 0, 0),
+          False, 0, 0, 1, 0, 0, 0),
          ("i2", "http://gone.example/x", 2, "gone.example", None, 0, "seed",
-          False, 0, 0, 2, 0, 0)],
+          False, 0, 0, 2, 0, 0, 0)],
         schemas.FRONTIER,
     )
     from zeno_spark.fixtures import attach_payloads, build_metadata

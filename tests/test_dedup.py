@@ -19,7 +19,7 @@ def _cand(spark, urls, **kw):
             parent_url=kw.get("parent_url"), hop=kw.get("hop", 1),
             type=kw.get("type", "seed"), bypass_seencheck=False, redirect=0,
             retry=0, enqueue_seq=kw.get("seq", i), discovered_round=1,
-            not_before_round=1,
+            not_before_round=1, priority=0,
         )
         rows.append(tuple(base[f.name] for f in schemas.FRONTIER.fields))
     return spark.createDataFrame(rows, schemas.FRONTIER)
@@ -45,11 +45,11 @@ def test_in_batch_dedupe_deterministic_winner(spark):
     # hop/type/parent -> min (seq, hop, type, parent) wins
     rows = [
         ("a", "http://h.com/x", fnv1a64("http://h.com/x"), "h.com", "http://p2.com",
-         3, "seed", False, 0, 0, 7, 1, 1),
+         3, "seed", False, 0, 0, 7, 1, 1, 0),
         ("b", "http://h.com/x", fnv1a64("http://h.com/x"), "h.com", "http://p1.com",
-         2, "asset", False, 0, 0, 7, 1, 1),
+         2, "asset", False, 0, 0, 7, 1, 1, 0),
         ("c", "http://h.com/y", fnv1a64("http://h.com/y"), "h.com", None,
-         1, "seed", False, 0, 0, 8, 1, 1),
+         1, "seed", False, 0, 0, 8, 1, 1, 0),
     ]
     df = spark.createDataFrame(rows, schemas.FRONTIER)
     out = {r.url: r for r in dedup.in_batch_dedupe(df).collect()}

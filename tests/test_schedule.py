@@ -22,7 +22,7 @@ def _item(url, host, seq, **kw):
         id=f"id{seq}", url=url, url_hash=fnv1a64(url), host=host,
         parent_url=None, hop=0, type="seed", bypass_seencheck=False,
         redirect=0, retry=0, enqueue_seq=seq, discovered_round=0,
-        not_before_round=0,
+        not_before_round=0, priority=kw.get("priority", 0),
     )
     base.update(kw)
     return tuple(base[f.name] for f in schemas.FRONTIER.fields)
@@ -166,3 +166,22 @@ def test_lifo_strategy_pops_newest_first(spark):
     got = {r.url for r in salted.collect()}
     assert got == {r.url for r in plain.collect()}
     assert "http://hot.com/199" in got and "http://hot.com/0" not in got
+
+
+def test_priority_tier_pops_before_fifo(spark):
+    """The politeness PRIORITY queue (north rule): within a host, higher
+    priority pops first; ties fall back to FIFO; salted plan identical."""
+    items = [
+        _item(f"http://h.com/{i}", "h.com", i,
+              priority=(2 if i >= 8 else 0)) for i in range(10)
+    ]
+    f = _frontier(spark, items)
+    sched = politeness_schedule(f, CrawlConfig(per_host_budget=3)).collect()
+    # priority-2 rows (urls 8, 9) first, then the FIFO head (url 0)
+    assert sorted(r.url for r in sched) == [
+        "http://h.com/0", "http://h.com/8", "http://h.com/9"
+    ]
+    salted = politeness_schedule(
+        f, CrawlConfig(per_host_budget=3, host_salt_buckets=4)
+    ).collect()
+    assert {r.url for r in salted} == {r.url for r in sched}

@@ -122,6 +122,7 @@ def _sched_rows(spark, pages, extra_urls=()):
         F.monotonically_increasing_id().alias("enqueue_seq"),
         F.lit(0).alias("discovered_round"),
         F.lit(0).alias("not_before_round"),
+        F.lit(0).alias("priority"),
     )
 
 

@@ -164,6 +164,7 @@ def edge_candidates(
         discovered_seq(F.lit(round_no + 1), F.col("url_hash")).alias("enqueue_seq"),
         F.lit(round_no + 1).cast("int").alias("discovered_round"),
         F.lit(round_no + 1).cast("int").alias("not_before_round"),
+        F.lit(0).alias("priority"),
         is_asset.alias("__is_asset"),
     )
 
@@ -221,6 +222,7 @@ def sitespecific_candidates(
         ).alias("enqueue_seq"),
         F.lit(round_no + 1).cast("int").alias("discovered_round"),
         F.lit(round_no + 1).cast("int").alias("not_before_round"),
+        F.lit(0).alias("priority"),
     )
     return cand.filter(
         self_reference_guard(F.col("url"), F.col("parent_url"))
@@ -259,4 +261,5 @@ def redirect_candidates(
         ).alias("enqueue_seq"),
         F.lit(round_no + 1).cast("int").alias("discovered_round"),
         F.lit(round_no + 1).cast("int").alias("not_before_round"),
+        F.col("priority"),  # redirect continuation keeps the item's priority
     ).filter(admission_predicate(cfg))

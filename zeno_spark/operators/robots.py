@@ -115,6 +115,7 @@ def fetch_robots_live(hosts: DataFrame, transport) -> DataFrame:
         F.lit(0).cast("long").alias("enqueue_seq"),
         F.lit(0).alias("discovered_round"),
         F.lit(0).alias("not_before_round"),
+        F.lit(0).alias("priority"),
     )
     resp = transport.responses(rows)
     bodies = resp.select(

@@ -67,7 +67,10 @@ def politeness_schedule(
         if cfg.schedule_strategy != "lifo"
         else F.col("enqueue_seq").desc()
     )
-    order = [seq, F.col("url_hash").asc()]
+    # priority tier first (north rule: politeness PRIORITY queue —
+    # higher priority pops earlier within its host), then the strategy
+    # order, then the hash tiebreak for full determinism
+    order = [F.col("priority").desc(), seq, F.col("url_hash").asc()]
     df = frontier
     if cfg.host_salt_buckets > 1:
         # phase 1 — salted local top-k (kills the hot-host single-task

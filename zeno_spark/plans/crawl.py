@@ -220,6 +220,7 @@ class CrawlJob:
             F.col("line").alias("enqueue_seq"),
             F.lit(0).alias("discovered_round"),
             F.lit(0).alias("not_before_round"),
+            F.lit(0).alias("priority"),
         )
         items = apply_admission(items, self.cfg)
         items = dedup.in_batch_dedupe(items)

@@ -39,6 +39,10 @@ FRONTIER = T.StructType(
         T.StructField("enqueue_seq", T.LongType(), False),   # deterministic FIFO tiebreak
         T.StructField("discovered_round", T.IntegerType(), False),
         T.StructField("not_before_round", T.IntegerType(), False),  # retry backoff
+        T.StructField("priority", T.IntegerType(), False),   # politeness PRIORITY queue
+        # tier (north rule): higher pops first within a host; ties fall
+        # back to the fifo/lifo strategy order.  No reference analogue
+        # (Zeno's queue is strictly host-round-robin+FIFO); 0 = neutral.
     ]
 )
 
