@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity tier (datapipe/similarity.py)
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_embs(s, d)),
         "dedup_embedding": lambda s, d: sim.cosine_pairs(_embs(s, d)),
+        "embedding_clusters": lambda s, d: cl.embedding_clusters(_embs(s, d)),
         "ann_lsh_topk": lambda s, d: sim.lsh_ann_topk(_embs(s, d)),
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_embs(s, d)),
     }
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_near_dup": mm.phash_marks_sql(),
         "ann_cosine_topk": sim.cosine_topk_sql(),
         "dedup_embedding": sim.cosine_pairs_sql(),
+        "embedding_clusters": cl.embedding_clusters_sql(),
         # deterministic plan (signature/probes/re-rank are pure
         # expressions), so an exact oracle exists despite "ANN"
         "ann_lsh_topk": sim.lsh_ann_topk_sql(),

@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding",
+    "embedding_clusters",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -491,3 +491,17 @@ def test_dedup_clusters_match_union_find_over_simhash_pairs(docs):
         assert r.cluster_size == sizes[r.cluster_id]
         assert r.keep == int(r.doc_id == r.cluster_id)
     assert sum(r.keep for r in rows) == len(sizes)
+
+
+def test_embedding_clusters_match_union_find(embeddings):
+    """embedding_clusters ≡ union-find over the banded cosine pair graph
+    (same pairs the dedup_embedding operator emits)."""
+    from zeno_spark.datapipe import clusters as cl
+
+    vec_ids = [r.vec_id for r in embeddings.select("vec_id").collect()]
+    pairs = [(r.vec_a, r.vec_b) for r in sim.cosine_pairs(embeddings).collect()]
+    assert pairs, "fixture produced no near-dup pairs — test is vacuous"
+    want = _union_find(vec_ids, pairs)
+    rows = cl.embedding_clusters(embeddings).collect()
+    assert {r.vec_id: r.cluster_id for r in rows} == want
+    assert sum(r.keep for r in rows) == len(set(want.values()))

@@ -128,6 +128,69 @@ def dedup_clusters(
     )
 
 
+def embedding_clusters(
+    embeddings: DataFrame, max_iter: int = CC_MAX_ITER
+) -> DataFrame:
+    """The same pairs→clusters→survivors resolution over the EMBEDDING
+    near-dup graph (similarity.cosine_pairs: banded sign-LSH candidates
+    + exact-cosine verify).  One row per vector: vec_id, cluster_id,
+    cluster_size, keep — the keep/drop decision an embedding-dedup
+    pipeline semi-joins back against the corpus."""
+    from zeno_spark.datapipe.similarity import cosine_pairs
+
+    pairs = cosine_pairs(embeddings).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    nodes = embeddings.select(F.col("vec_id").alias("node"))
+    cc = connected_components(nodes, pairs, max_iter)
+    sized = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        cc.join(sized, "cluster_id")
+        .select(
+            F.col("node").alias("vec_id"),
+            "cluster_id",
+            "cluster_size",
+            F.when(F.col("node") == F.col("cluster_id"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+def embedding_clusters_sql(table: str = "embeddings") -> str:
+    """DuckDB oracle: recursive-CTE closure over the banded-cosine pair
+    oracle (similarity.cosine_pairs_sql — the same candidate + verify
+    semantics declaratively)."""
+    from zeno_spark.datapipe.similarity import cosine_pairs_sql
+
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({cosine_pairs_sql(table)}),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION ALL
+      SELECT vec_b AS src, vec_a AS dst FROM pairs),
+    reach(node, label) AS (
+      SELECT vec_id, vec_id FROM {table}
+      UNION
+      SELECT e.dst, r.label
+      FROM reach r JOIN edges e ON e.src = r.node),
+    cc AS (
+      SELECT node AS vec_id, min(label) AS cluster_id
+      FROM reach GROUP BY node),
+    sized AS (
+      SELECT cluster_id, count(*) AS cluster_size
+      FROM cc GROUP BY cluster_id)
+    SELECT cc.vec_id, cc.cluster_id, sized.cluster_size,
+           (CASE WHEN cc.vec_id = cc.cluster_id THEN 1 ELSE 0 END)::INTEGER
+             AS keep
+    FROM cc JOIN sized USING (cluster_id)
+    """
+
+
 def dedup_clusters_sql(table: str = "documents") -> str:
     """DuckDB oracle: the same closure as a recursive CTE.  Seeds every
     doc with its own id and propagates labels along symmetrized edges;
