@@ -21,7 +21,23 @@ through the exact anti-join.  Results are bit-identical with the filter
 on or off; only the anti-join's left side shrinks.  The bloom is
 *partitioned*: one filter per url_hash bucket, built distributed with
 applyInPandas and applied with a cogrouped join — no driver collect, no
-10^10-row broadcast.  (The north rule's cuckoo overflow tier would slot
+10^10-row broadcast.  The index is PERSISTED and maintained
+incrementally (merge_bloom_index): each round ORs only its newly-seen
+delta in, so no round rescans the full seen table to rebuild filters.
+
+Anti-join shuffle at 10^10 rows: the exact probe is an equi-join on
+(url_hash, url); in this parquet stand-in Spark plans a sort-merge
+join that shuffles the (url_hash, url)-pruned seen projection each
+round (~50 MB at bench scale — negligible; ~600 GB at 10^10 rows —
+real).  The production fix is STORAGE layout, not a different
+operator: an Iceberg `seen` table bucket-partitioned by
+`bucket(N, url_hash)` with candidates repartitioned on the same
+transform gives a storage-partitioned join — both sides co-located,
+zero shuffle, the same plan shape this module already uses for the
+bloom cogroup.  (Broadcasting the bloom-survivor hash set to
+semi-filter seen map-side was considered and rejected: the maybe-set's
+size tracks per-round candidate volume, so it is exactly as
+un-broadcastable as the problem it would solve.)  (The north rule's cuckoo overflow tier would slot
 in per-bucket when a bucket's fill rate exceeds the bloom's design point;
 at the sandbox scale the bloom never saturates, so the overflow tier is
 represented by the `overflow` flag in the built index and exercised in
