@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "doc_fingerprint",
     "doc_minhash",
     "doc_simhash",
+    "dedup_simhash",
     "dedup_clusters",
     "phash_near_dup",
     "dedup_jaccard",
