@@ -157,8 +157,9 @@ def test_fetch_meta_equivalence(spark, corpus, origin):
 
 def test_proxy_bypass_goes_direct(spark, corpus, origin):
     """X4: a bypassed host skips the proxy — with no direct route to the
-    synthetic hosts, those rows come back as connection failures (404
-    analogue), everything else still resolves via the proxy."""
+    synthetic hosts, those rows surface as CONNECTION failures (sentinel
+    status 0, retryable — NOT a permanent 404), everything else still
+    resolves via the proxy."""
     url, _h = origin
     pages = corpus["pages"].filter(F.col("status") == 200).limit(20).cache()
     sched = _sched_rows(spark, pages)
@@ -169,10 +170,45 @@ def test_proxy_bypass_goes_direct(spark, corpus, origin):
     out = fetch_meta(sched, None, transport=live).collect()
     for r in out:
         if r.host == bypassed:
-            assert r.status == 404  # no direct route -> failure analogue
+            assert r.status == 0  # no direct route -> transient failure
         else:
             assert r.status in (200, 301, 404, 429)
     pages.unpersist()
+
+
+def test_connection_failure_is_retried_not_dropped(spark, corpus):
+    """ADVICE fix: a connection-level failure (status None from the live
+    worker) must route through the backoff/retry path like a 429 — not
+    be coalesced to a permanent 404 that silently drops the URL."""
+    from zeno_spark.operators.fetch import split_results
+    from zeno_spark.operators.schedule import backoff_retry_rows
+    from zeno_spark.operators.transport import RESPONSES
+
+    class DownTransport:
+        """covers_all transport where every GET fails at the socket."""
+
+        covers_all = True
+        deterministic_429 = False
+
+        def responses(self, scheduled, cfg=None):
+            out = scheduled
+            for f in RESPONSES.fields:
+                if f.name not in scheduled.columns:
+                    out = out.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+            return out
+
+    sched = _sched_rows(spark, corpus["pages"].limit(6)).cache()
+    n = sched.count()
+    results = fetch_meta(sched, None, transport=DownTransport())
+    ok, redirects, retryable, dead = split_results(results)
+    assert ok.count() == 0 and redirects.count() == 0 and dead.count() == 0
+    assert retryable.count() == n  # every row is a retry candidate
+    retries = backoff_retry_rows(retryable, 0, CrawlConfig()).collect()
+    assert len(retries) == n
+    assert all(r.retry == 1 and r.not_before_round >= 1 for r in retries)
+    sched.unpersist()
 
 
 @pytest.fixture(scope="module")

@@ -46,6 +46,44 @@ def test_record_framing_roundtrip():
     assert body == payload
 
 
+def test_crlf_header_values_cannot_break_framing():
+    """A header value carrying CRLF (hostile caption, Location header)
+    must not corrupt the inner HTTP framing: parse_http_block has to
+    return the true body and see no injected header."""
+    payload = b"real body bytes"
+    rec = W.response_record(
+        "http://h.example/evil", 0, 200, "image/png", payload, None,
+        {"X-Zeno-Caption": W.encode_header_value("line1\r\nInjected: x"),
+         "Location": "http://t.example/\r\nX-Smuggled: 1"},
+    )
+    [parsed] = list(W.parse_warc_stream(rec))
+    status, hh, body = W.parse_http_block(parsed["block"])
+    assert status == 200
+    assert body == payload
+    assert "x-smuggled" not in hh
+    assert "injected" not in hh
+    # the encoded caption round-trips byte-exact
+    assert W.decode_header_value(hh["x-zeno-caption"]) == "line1\r\nInjected: x"
+
+
+def test_crlf_caption_roundtrips_through_spark_sink(spark, tmp_path):
+    rows = [
+        ("http://h.example/a", 200, b"payloadbytes-a", "two\nlines % 50",
+         7, False, 0),
+        ("http://h.example/b", 200, b"payloadbytes-b", "plain", 8, False, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, status int, bytes binary, caption string, "
+        "phash long, revisit boolean, round int",
+    )
+    out = str(tmp_path / "warc_crlf")
+    W.write_warc(df, out).collect()
+    back = {r.url: r for r in W.read_warc(spark, out).collect()}
+    assert back["http://h.example/a"].caption == "two\nlines % 50"
+    assert back["http://h.example/b"].caption == "plain"
+
+
 def test_revisit_record_has_no_payload():
     rec = W.revisit_record("http://h.example/p/2", 1, 200, "image/png", "ab" * 32)
     [parsed] = list(W.parse_warc_stream(rec))

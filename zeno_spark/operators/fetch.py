@@ -209,7 +209,20 @@ def fetch_meta(
         transport = OriginTableTransport(pages)
     matched = transport.responses(scheduled, cfg)
 
-    raw = F.coalesce(F.col("__page_status"), F.lit(404))
+    if transport.covers_all:
+        # a live transport emits one row per scheduled row; a null
+        # status means a CONNECTION-LEVEL failure after the worker's
+        # in-request retries — a transient, NOT a 404.  Surface it as
+        # sentinel status 0 so split_results routes it through the
+        # backoff/retry path (the reference retries request errors up
+        # to MaxRetry and never records them as captures,
+        # capture.go:56-83); coalescing it to 404 would permanently
+        # drop the URL on any transient outage.
+        raw = F.coalesce(F.col("__page_status"), F.lit(0))
+    else:
+        # origin-table transport: an absent row is a deterministic miss
+        # (the sandbox's connection-refused analogue) -> 404 below
+        raw = F.coalesce(F.col("__page_status"), F.lit(404))
     if transport.deterministic_429:
         # sandbox origin: a retried 429 deterministically "recovers", so
         # the O5 retry path is exercised end-to-end; a live transport
@@ -323,17 +336,21 @@ def fetch(scheduled: DataFrame, pages: DataFrame, cfg=None) -> DataFrame:
 
 
 def split_results(results: DataFrame):
-    """(ok, redirects, failed_429, dead) — native filters over one pass."""
+    """(ok, redirects, retryable, dead) — native filters over one pass.
+    Retryable = 429 (server backoff) and 0 (connection-level failure on
+    a live transport); both re-enter the frontier via backoff_retry_rows
+    with retry+1, matching the reference's MaxRetry discipline
+    (capture.go:56-114)."""
     ok = results.filter(F.col("status") == 200)
     redirects = results.filter(
         F.col("status").between(300, 399) & F.col("redirect_to").isNotNull()
     )
-    failed_429 = results.filter(F.col("status") == 429)
+    retryable = results.filter(F.col("status").isin(429, 0))
     dead = results.filter(
-        (~F.col("status").isin(200, 429))
+        (~F.col("status").isin(200, 429, 0))
         & ~(F.col("status").between(300, 399) & F.col("redirect_to").isNotNull())
     )
-    return ok, redirects, failed_429, dead
+    return ok, redirects, retryable, dead
 
 
 def mark_payload_revisits(

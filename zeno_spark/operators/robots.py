@@ -81,27 +81,14 @@ def robots_table_from_bodies(bodies: DataFrame) -> DataFrame:
     )
 
 
-def fetch_robots_live(hosts: DataFrame, transport) -> DataFrame:
-    """Fetch + parse http://<host>/robots.txt for each distinct host
-    through the live transport seam (operators/transport.py) and return
-    robots-table rows.  Status semantics (RFC 9309 §2.3.1, simplified
-    to the conservative prefix-disallow model above):
-
-      * 200  -> parse the body;
-      * 404 / other definitive miss -> allow-all row (empty prefixes) —
-        "no robots file means no restrictions";
-      * unreachable (connection failure) -> allow-all TOO, but flagged
-        by crawl_delay=None like the 404 case; a deployment wanting the
-        RFC's stricter 5xx=disallow-all posture can post-filter.
-
-    One transport batch per host partition; the result is tiny (one row
-    per host) and feeds apply_robots_gate's broadcast join."""
+def _robots_fetch_rows(hosts: DataFrame, scheme: str) -> DataFrame:
+    """Frontier-shaped rows for <scheme>://<host>/robots.txt."""
     from pyspark.sql import functions as F
 
     from zeno_spark.functions.urls import fnv1a64_udf
 
-    url = F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt"))
-    rows = hosts.select("host").distinct().select(
+    url = F.concat(F.lit(f"{scheme}://"), F.col("host"), F.lit("/robots.txt"))
+    return hosts.select("host").distinct().select(
         F.sha1(url).alias("id"),
         url.alias("url"),
         fnv1a64_udf(url).alias("url_hash"),
@@ -117,12 +104,51 @@ def fetch_robots_live(hosts: DataFrame, transport) -> DataFrame:
         F.lit(0).alias("not_before_round"),
         F.lit(0).alias("priority"),
     )
-    resp = transport.responses(rows)
-    bodies = resp.select(
+
+
+def fetch_robots_live(hosts: DataFrame, transport) -> DataFrame:
+    """Fetch + parse <host>/robots.txt for each distinct host through
+    the live transport seam (operators/transport.py) and return
+    robots-table rows.
+
+    Scheme handling: the transport never follows redirects, and most
+    modern hosts 301 http->https — treating that 3xx as "no robots"
+    would silently disable the gate in the UNSAFE direction.  So the
+    fetch tries http:// first and, for every host that did not answer
+    200 (3xx redirect, connection failure, 404 on the http listener),
+    retries once at https://<host>/robots.txt before concluding.
+
+    Status semantics (RFC 9309 §2.3.1, simplified to the conservative
+    prefix-disallow model above):
+
+      * 200 on either scheme -> parse the body;
+      * definitive miss on both -> allow-all row (empty prefixes) —
+        "no robots file means no restrictions";
+      * unreachable on both -> allow-all TOO, flagged by
+        crawl_delay=None like the 404 case; a deployment wanting the
+        RFC's stricter 5xx=disallow-all posture can post-filter.
+
+    One transport batch per host partition and scheme; the result is
+    tiny (one row per host) and feeds apply_robots_gate's broadcast
+    join.  The first pass is materialized (localCheckpoint) before the
+    ok/miss split so the split never re-runs the wire fetch."""
+    from pyspark.sql import functions as F
+
+    first = transport.responses(_robots_fetch_rows(hosts, "http")).select(
+        "host",
+        F.col("__page_status").alias("__s"),
+        F.when(
+            F.col("__page_status") == 200, F.decode(F.col("__bytes"), "UTF-8")
+        ).alias("body"),
+    ).localCheckpoint(eager=True)
+    ok = first.filter(F.col("__s") == 200).select("host", "body")
+    miss = first.filter(
+        F.col("__s").isNull() | (F.col("__s") != 200)
+    ).select("host")
+    second = transport.responses(_robots_fetch_rows(miss, "https")).select(
         "host",
         F.when(
-            F.col("__page_status") == 200,
-            F.decode(F.col("__bytes"), "UTF-8"),
+            F.col("__page_status") == 200, F.decode(F.col("__bytes"), "UTF-8")
         ).alias("body"),
     )
-    return robots_table_from_bodies(bodies)
+    return robots_table_from_bodies(ok.unionByName(second))

@@ -236,6 +236,9 @@ def _http_worker(proxy, bypass, timeout, max_retries, retry_sleep,
                     out["__outlinks"].append(None)
                     out["__assets"].append(None)
                 if writer is not None and status is not None:
+                    import uuid as _uuid
+                    from datetime import datetime, timezone
+
                     from zeno_spark.operators import warc as W
 
                     xh = {
@@ -244,10 +247,26 @@ def _http_worker(proxy, bypass, timeout, max_retries, retry_sleep,
                     }
                     if 300 <= status <= 399 and hh.get("location"):
                         xh["Location"] = hh["location"]
+                    # live capture: every wire event gets a UNIQUE
+                    # record id (taskAttemptId + per-writer sequence —
+                    # repeat fetches of one URL across retries/rounds
+                    # are distinct records per WARC 1.1) and a real
+                    # timestamp; determinism is a batch-sink property,
+                    # not a live-wire one
+                    rec_seq = getattr(writer, "_live_seq", 0)
+                    writer._live_seq = rec_seq + 1
+                    rid = "<urn:uuid:%s>" % _uuid.uuid5(
+                        _uuid.NAMESPACE_URL,
+                        f"live|{writer.prefix}|{rec_seq}|{url}",
+                    )
+                    now = datetime.now(timezone.utc).strftime(
+                        "%Y-%m-%dT%H:%M:%SZ"
+                    )
                     writer.add(
                         W.response_record(
                             url, 0, status, ct or "application/octet-stream",
                             body or b"", None, xh,
+                            record_id=rid, warc_date=now,
                         )
                     )
             for n in _CARRY:

@@ -148,6 +148,28 @@ def warcinfo_record(filename: str, round_no: int) -> bytes:
     )
 
 
+def _safe_header_value(v: str) -> str:
+    """A header value must never carry CR/LF: an embedded newline would
+    corrupt the inner HTTP framing (parse_http_block would read wrong
+    headers/body for the record).  Values built by encode_header_value
+    are already clean; anything else gets the characters replaced — a
+    framing safety net, not a round-trip path."""
+    return v.replace("\r", " ").replace("\n", " ")
+
+
+def encode_header_value(v: str) -> str:
+    """Lossless header-value transport for the X-Zeno-* metadata
+    columns: percent-encode only %, CR and LF so arbitrary captions
+    round-trip byte-exact through the synthesized HTTP block."""
+    return (
+        v.replace("%", "%25").replace("\r", "%0D").replace("\n", "%0A")
+    )
+
+
+def decode_header_value(v: str) -> str:
+    return v.replace("%0A", "\n").replace("%0D", "\r").replace("%25", "%")
+
+
 def http_block(
     status: int,
     content_type: str,
@@ -161,10 +183,10 @@ def http_block(
               422: "Unprocessable Entity", 429: "Too Many Requests"}.get(
         status, "Status")
     lines = [f"HTTP/1.1 {status} {reason}"]
-    lines.append(f"Content-Type: {content_type}")
+    lines.append(f"Content-Type: {_safe_header_value(content_type)}")
     lines.append(f"Content-Length: {len(payload)}")
     for k, v in (extra_headers or {}).items():
-        lines.append(f"{k}: {v}")
+        lines.append(f"{_safe_header_value(k)}: {_safe_header_value(v)}")
     head = ("\r\n".join(lines) + "\r\n\r\n").encode("utf-8")
     return head + payload
 
@@ -177,11 +199,20 @@ def response_record(
     payload: bytes,
     payload_digest: str | None,
     extra_headers: dict[str, str] | None = None,
+    record_id: str | None = None,
+    warc_date: str | None = None,
 ) -> bytes:
+    """``record_id``/``warc_date`` overrides exist for the LIVE capture
+    path: there, repeat fetches of the same URL (429 retries across
+    rounds, refreshed captures) are distinct wire events, so the writer
+    supplies per-attempt-unique ids and real wall-clock dates instead of
+    the deterministic (url, round, digest) derivation the batch sink
+    uses (WARC 1.1 requires record-id uniqueness per record)."""
     block = http_block(status, content_type, payload, extra_headers)
     h = {
-        "WARC-Record-ID": _record_id("response", url, round_no, payload_digest),
-        "WARC-Date": _warc_date(round_no),
+        "WARC-Record-ID": record_id
+        or _record_id("response", url, round_no, payload_digest),
+        "WARC-Date": warc_date or _warc_date(round_no),
         "WARC-Target-URI": url,
         "Content-Type": 'application/http;msgtype=response',
     }
@@ -326,8 +357,14 @@ def _write_batches(out_dir: str, rotate_bytes: int):
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
-        writer = WarcWriter(out_dir, f"zeno-{pid:05d}", 0,
+        # task ATTEMPT id, not partition id: a retried or speculative
+        # attempt of the same partition must write its own file series —
+        # two attempts interleaving one zeno-*.warc.gz path would corrupt
+        # the gzip stream while only one attempt's manifest returns
+        # (same discipline as the live capture path, transport.py)
+        ctx = TaskContext.get()
+        tid = ctx.taskAttemptId() if ctx else 0
+        writer = WarcWriter(out_dir, f"zeno-{tid:08d}", 0,
                             rotate_bytes=rotate_bytes)
         for b in batches:
             idx = {n: i for i, n in enumerate(b.schema.names)}
@@ -347,7 +384,9 @@ def _write_batches(out_dir: str, rotate_bytes: int):
                 for c in _X_HEADERS:
                     v = val(c, i)
                     if v is not None:
-                        xh[f"X-Zeno-{c.replace('_', '-').title()}"] = str(v)
+                        xh[f"X-Zeno-{c.replace('_', '-').title()}"] = (
+                            encode_header_value(str(v))
+                        )
                 digest = val("payload_digest", i)
                 if val("revisit", i):
                     rec = revisit_record(url, round_no, status, ct, digest, xh)
@@ -402,16 +441,20 @@ def _parse_file_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Record
                     continue
                 status, hh, body = parse_http_block(rec["block"])
                 digest = rec["headers"].get("WARC-Payload-Digest", "")
+                def xz(key):
+                    v = hh.get(key)
+                    return decode_header_value(v) if v is not None else None
+
                 row = {
                     "url": rec["headers"].get("WARC-Target-URI"),
                     "record_type": rtype,
                     "status": status,
-                    "image_id": hh.get("x-zeno-image-id"),
+                    "image_id": xz("x-zeno-image-id"),
                     "bytes": body if (rtype == "response" and body) else None,
                     "w": int(hh["x-zeno-w"]) if "x-zeno-w" in hh else None,
                     "h": int(hh["x-zeno-h"]) if "x-zeno-h" in hh else None,
-                    "fmt": hh.get("x-zeno-fmt"),
-                    "caption": hh.get("x-zeno-caption"),
+                    "fmt": xz("x-zeno-fmt"),
+                    "caption": xz("x-zeno-caption"),
                     "phash": int(hh["x-zeno-phash"]) if "x-zeno-phash" in hh else None,
                     "payload_digest": digest.removeprefix("sha256:") or None,
                     "revisit": rtype == "revisit",

@@ -327,7 +327,7 @@ class CrawlJob:
         # dedupe, compute does not).  One count() => decode runs exactly
         # once per round; everything downstream reads the warm cache.
         results.count()
-        ok, redirects, failed_429, _dead = split_results(results)
+        ok, redirects, retryable, _dead = split_results(results)
         # D8: payload dedupe on the sink path only — the extract path
         # reads `ok` untouched (revisit marking never changes routing)
         if cfg.payload_dedupe:
@@ -373,7 +373,7 @@ class CrawlJob:
         ).cache()
 
         frontier_cols = [f.name for f in schemas.FRONTIER.fields]
-        retries = backoff_retry_rows(failed_429, round_no, cfg).select(*frontier_cols)
+        retries = backoff_retry_rows(retryable, round_no, cfg).select(*frontier_cols)
 
         # ---- per-host lineage/counters ----
         # `results` is 1:1 with `sched` (fetch emits one row per scheduled
@@ -388,7 +388,7 @@ class CrawlJob:
         ]
         is_ok = F.col("status") == 200
         is_redir = F.col("status").between(300, 399) & F.col("redirect_to").isNotNull()
-        is_retry = (F.col("status") == 429) & (
+        is_retry = F.col("status").isin(429, 0) & (
             F.col("retry") + 1 <= F.lit(cfg.max_retry)
         )
         zero = F.lit(0).cast("long")
