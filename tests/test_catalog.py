@@ -89,3 +89,70 @@ def test_expire_snapshots_folds_history_and_sweeps_orphans(spark, tmp_path):
     # idempotent / safe to re-run
     t.expire_snapshots(keep_last=2)
     assert sorted((r.k, r.v) for r in t.read().collect()) == rows_at_v
+
+
+# ---------------------------------------------------------------------------
+# bucketed layout (the seen table's storage-partitioned-join support)
+# ---------------------------------------------------------------------------
+
+SEEN_LIKE = T.StructType([
+    T.StructField("url_hash", T.LongType(), False),
+    T.StructField("url", T.StringType(), False),
+])
+
+
+def _rows(spark, a, b):
+    from pyspark.sql import functions as F
+
+    return spark.range(a, b).select(
+        (F.col("id") * 2654435761 % 1000000007).alias("url_hash"),
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+    )
+
+
+def test_bucketed_append_read_rollback(spark, tmp_path):
+    t = Catalog(spark, str(tmp_path)).table(
+        "seen_b", SEEN_LIKE, bucket_spec=(8, ("url_hash", "url")))
+    t.append(_rows(spark, 0, 500))
+    t.append(_rows(spark, 500, 700))
+    assert t.read().count() == 700
+    assert t.row_count() == 700
+    # contents identical to a plain read of the same rows
+    want = {r.url for r in _rows(spark, 0, 700).collect()}
+    assert {r.url for r in t.read().collect()} == want
+    # version pin + rollback resolve to the right bytes (content token)
+    assert t.read(version=1).count() == 500
+    t.rollback_to(1)
+    assert t.read().count() == 500
+    # re-commit after rollback: same version number, different files
+    t.append(_rows(spark, 900, 950))
+    assert t.read().count() == 550
+
+
+def test_bucketed_antijoin_is_storage_partitioned(spark, tmp_path):
+    """The whole point of the layout: with broadcast disabled (the
+    10^10-row regime where seen can never broadcast), the exact
+    (url_hash, url) anti-join must plan with a bucket-aware scan and
+    NO Exchange on the seen side — the only shuffle is the candidate
+    delta's."""
+    from pyspark.sql import functions as F
+
+    from zeno_spark.operators.dedup import anti_join_seen, dedupe_against_seen
+
+    t = Catalog(spark, str(tmp_path)).table(
+        "seen_b2", SEEN_LIKE, bucket_spec=(8, ("url_hash", "url")))
+    t.append(_rows(spark, 0, 2000))
+    t.append(_rows(spark, 2000, 3000))
+    cand = _rows(spark, 2500, 4000)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = anti_join_seen(cand, t.read())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # exactly one exchange in the whole plan: the candidate side's
+        assert plan.count("Exchange") == 1
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert j.count() == 1000  # ids 2500-2999 seen; 3000-3999 survive
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -117,3 +117,78 @@ def test_embedding_oracle_dim_guard(embs):
     row = embs.select("embedding").head()
     assert len(row.embedding) == sim.DIM
     assert np.isfinite(np.asarray(row.embedding, dtype=np.float64)).all()
+
+
+def test_seen_antijoin_never_degrades_to_bnlj(spark, tmp_path):
+    """The bloom-tagged anti-join keeps `maybe_seen` as a RESIDUAL
+    condition next to the two equi-keys.  Catalyst must keep planning
+    it as an equi anti-join (SMJ/SHJ/broadcast-hash) — if a Spark
+    upgrade ever degrades it to BroadcastNestedLoopJoin, a crawl round
+    at real scale dies; fail here first."""
+    from pyspark.sql import functions as F
+
+    from zeno_spark.operators.dedup import build_bloom_index, dedupe_against_seen
+
+    seen = spark.range(0, 5000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+    )
+    cand = spark.range(4000, 6000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.concat(F.lit("http://h/"), F.col("id")).alias("url"),
+        F.lit(0).cast("long").alias("enqueue_seq"),
+    )
+    out = dedupe_against_seen(cand, seen, use_bloom=True)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    # the residual must ride the equi-join as a join condition
+    assert "maybe_seen" in plan
+
+
+def test_bucketed_seen_join_shape_in_crawl(spark, tmp_path):
+    """End-to-end guard on the crawl's own seen table: after a real
+    CrawlJob seed+round, the exact anti-join against job.seen.read()
+    is storage-partitioned (bucket-aware scan, no Exchange on the seen
+    side) once broadcast is off — the layout VERDICT r02 demanded."""
+    from pyspark.sql import functions as F
+
+    from zeno_spark import fixtures
+    from zeno_spark.config import CrawlConfig
+    from zeno_spark.operators.dedup import anti_join_seen
+    from zeno_spark.plans.crawl import CrawlJob
+
+    corpus = fixtures.build_corpus(spark, n_pages=120, n_hosts=8, seed=42)
+    cfg = CrawlConfig(max_hops=2, per_host_budget=8, max_rounds=2,
+                      bloom_prefilter=True)
+    job = CrawlJob(spark, str(tmp_path / "wh_bkt"), corpus["pages"],
+                   corpus["links"], cfg)
+    job.run(seeds=corpus["seeds"], max_rounds=2)
+    cand = corpus["pages"].select(
+        F.xxhash64("url").alias("url_hash"), "url")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(anti_join_seen(cand, job.seen.read()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+    assert "SelectedBucketsCount" in plan
+    # the join's RIGHT (seen) subtree is printed last: the lines of the
+    # left subtree carry the ":"-rail prefix, the right child is the
+    # first un-railed "+- " child after the join.  No Exchange may sit
+    # anywhere in that subtree — the bucketed scan feeds the join's
+    # sort directly.
+    lines = plan.splitlines()
+    join_at = next(
+        i for i, ln in enumerate(lines) if "SortMergeJoin" in ln
+    )
+    right_at = next(
+        i for i in range(join_at + 1, len(lines))
+        if lines[i].lstrip().startswith("+- ") and ":" not in
+        lines[i][: lines[i].index("+- ")]
+    )
+    right = "\n".join(lines[right_at:])
+    assert "FileScan parquet" in right
+    assert "Exchange" not in right

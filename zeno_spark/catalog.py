@@ -28,27 +28,59 @@ periodic compaction).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_BUCKET_VIEW_DIR = "_bucketview"
 
 
 class SnapshotTable:
-    """One table under ``<warehouse>/<name>`` with atomic numbered commits."""
+    """One table under ``<warehouse>/<name>`` with atomic numbered commits.
 
-    def __init__(self, spark: SparkSession, warehouse: str, name: str, schema: T.StructType):
+    ``bucket_spec`` = (n_buckets, (col, ...)) opts the table into a
+    BUCKETED storage layout — the Iceberg `bucket(N, col)` partition
+    transform's stand-in.  Appends/rewrites then write Spark-bucketed
+    parquet (one file per bucket per commit, hash-clustered and sorted
+    on the bucket columns) and ``read()`` returns a bucket-aware scan:
+    a join whose keys equal the bucket columns plans with NO Exchange
+    on this table's side (storage-partitioned join).  The crawl's
+    ``seen`` table uses this so the exact (url_hash, url) anti-join
+    stops shuffling the full seen projection every round — at a
+    10^10-row seen set that shuffle (~600 GB/round) would dominate the
+    round; with the layout, the per-round cost is the DELTA-side
+    exchange only (operators/dedup.py module docstring).
+
+    Mechanics (vanilla Spark, no Iceberg jars in this sandbox): each
+    commit writes through ``bucketBy(...).saveAsTable`` into a fresh
+    directory (the bucket id rides in the standard ``_000NN`` file-name
+    suffix), the manifest records the files as usual, and ``read()``
+    materializes the live file set as a hardlink view directory backing
+    an external ``CLUSTERED BY`` table keyed by a content token (the
+    sha1 of the live file list), so version pins, rollbacks and
+    re-committed versions after a rollback all resolve to the right
+    bytes.  Production swap-in is unchanged: an Iceberg table with a
+    bucket partition spec gives the same storage-partitioned join."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, name: str,
+                 schema: T.StructType,
+                 bucket_spec: tuple[int, tuple[str, ...]] | None = None):
         self.spark = spark
         self.name = name
         self.schema = schema
+        self.bucket_spec = bucket_spec
         self.root = os.path.join(warehouse, name)
         self.manifest_dir = os.path.join(self.root, _MANIFEST_DIR)
         self.data_dir = os.path.join(self.root, _DATA_DIR)
+        # (token, table_name) of the currently registered bucket view
+        self._bkt_registered: tuple[str, str] | None = None
         os.makedirs(self.manifest_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
 
@@ -99,7 +131,23 @@ class SnapshotTable:
 
     def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
         out = os.path.join(self.data_dir, uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(out)
+        if self.bucket_spec is not None:
+            n, cols = self.bucket_spec
+            tmp = f"zeno_tmp_w_{uuid.uuid4().hex}"
+            # repartition on the bucket keys first: HashPartitioning and
+            # the bucket-id function are the same murmur3-pmod, so each
+            # task holds exactly one bucket's rows -> ONE file per
+            # bucket per commit instead of tasks x buckets
+            (
+                df.repartition(n, *[F.col(c) for c in cols])
+                .write.bucketBy(n, *cols).sortBy(*cols)
+                .format("parquet").option("path", out)
+                .mode("overwrite").saveAsTable(tmp)
+            )
+            # external table: dropping the catalog entry keeps the files
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        else:
+            df.write.mode("overwrite").parquet(out)
         files = [
             os.path.join(out, f)
             for f in os.listdir(out)
@@ -135,7 +183,67 @@ class SnapshotTable:
         files = self._live_files(version)
         if not files:
             return self.spark.createDataFrame([], self.schema)
+        if self.bucket_spec is not None:
+            return self._read_bucketed(files)
         return self.spark.read.schema(self.schema).parquet(*files)
+
+    def _read_bucketed(self, files: list[str]) -> DataFrame:
+        """Bucket-aware scan of the live file set: materialize the files
+        as a hardlink view dir and register an external CLUSTERED BY
+        table over it, keyed by a content token (sha1 of the file list)
+        so a re-committed version after a rollback never resolves to a
+        stale view.  The registration is idempotent and cached."""
+        n, cols = self.bucket_spec
+        token = hashlib.sha1("|".join(sorted(files)).encode()).hexdigest()[:12]
+        if self._bkt_registered and self._bkt_registered[0] == token:
+            return self.spark.table(self._bkt_registered[1])
+        root_tag = hashlib.sha1(
+            os.path.abspath(self.root).encode()
+        ).hexdigest()[:12]
+        tbl = f"zeno_bkt_{root_tag}_{token}"
+        view = os.path.join(self.root, _BUCKET_VIEW_DIR, token)
+        marker = os.path.join(view, "_VIEW_DONE")
+        if not os.path.exists(marker):
+            tmp_view = os.path.join(
+                self.root, _BUCKET_VIEW_DIR, f".tmp-{uuid.uuid4().hex}"
+            )
+            os.makedirs(tmp_view)
+            for f in files:
+                dst = os.path.join(tmp_view, os.path.basename(f))
+                try:
+                    os.link(f, dst)
+                except OSError:
+                    os.symlink(f, dst)
+            with open(os.path.join(tmp_view, "_VIEW_DONE"), "w") as fh:
+                fh.write(token)
+            try:
+                os.rename(tmp_view, view)  # idempotent publish
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp_view, ignore_errors=True)
+        if not self.spark.catalog.tableExists(tbl):
+            col_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in self.schema.fields
+            )
+            key_ddl = ", ".join(f"`{c}`" for c in cols)
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({col_ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key_ddl}) SORTED BY ({key_ddl}) "
+                f"INTO {n} BUCKETS LOCATION '{view}'"
+            )
+        # keep the session catalog bounded over a long crawl, but never
+        # drop the IMMEDIATELY previous registration: a DataFrame read
+        # from it earlier in the same round may still recompute lazily
+        prev = self._bkt_registered
+        if prev and prev[1] != tbl:
+            stale = getattr(self, "_bkt_stale", None)
+            if stale and stale not in (tbl, prev[1]):
+                self.spark.sql(f"DROP TABLE IF EXISTS {stale}")
+            self._bkt_stale = prev[1]
+        self._bkt_registered = (token, tbl)
+        return self.spark.table(tbl)
 
     def row_count(self, version: int | None = None) -> int:
         """Exact row count from manifest metadata — no Spark job."""
@@ -214,6 +322,23 @@ class SnapshotTable:
                         os.remove(p)
             if not os.listdir(sub):
                 os.rmdir(sub)
+        # bucket-view hardlinks pin deleted data files' bytes: sweep view
+        # dirs whose token no longer matches any retained version's live
+        # file set
+        view_root = os.path.join(self.root, _BUCKET_VIEW_DIR)
+        if self.bucket_spec is not None and os.path.isdir(view_root):
+            import shutil
+
+            live_tokens = {
+                hashlib.sha1(
+                    "|".join(sorted(self._live_files(v))).encode()
+                ).hexdigest()[:12]
+                for v in self._manifest_versions()
+            }
+            for d in os.listdir(view_root):
+                if d not in live_tokens:
+                    shutil.rmtree(os.path.join(view_root, d),
+                                  ignore_errors=True)
         return removed
 
 
@@ -226,7 +351,13 @@ class Catalog:
         os.makedirs(warehouse, exist_ok=True)
         self._tables: dict[str, SnapshotTable] = {}
 
-    def table(self, name: str, schema: T.StructType) -> SnapshotTable:
+    def table(
+        self, name: str, schema: T.StructType,
+        bucket_spec: tuple[int, tuple[str, ...]] | None = None,
+    ) -> SnapshotTable:
         if name not in self._tables:
-            self._tables[name] = SnapshotTable(self.spark, self.warehouse, name, schema)
+            self._tables[name] = SnapshotTable(
+                self.spark, self.warehouse, name, schema,
+                bucket_spec=bucket_spec,
+            )
         return self._tables[name]

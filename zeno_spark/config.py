@@ -57,6 +57,17 @@ class CrawlConfig:
     use_seencheck: bool = True                 # D1-D7
     bloom_prefilter: bool = False              # D9 — addition; prefilter only,
                                                # exactness stays with the anti-join
+    seen_buckets: int = 32                     # storage buckets of the `seen`
+                                               # table: bucket(N, (url_hash, url))
+                                               # layout makes the exact anti-join
+                                               # storage-partitioned (no per-round
+                                               # shuffle of the seen projection —
+                                               # catalog.py SnapshotTable).  Size N
+                                               # so one bucket's rows fit an
+                                               # executor's sort buffer at target
+                                               # scale (10^10 rows -> N ~ 2-4k on
+                                               # a real cluster); 0 disables the
+                                               # bucketed layout
     sitespecific_expand: bool = True           # §2.7 derived-capture rewrites
                                                # (capture.go:213-315) as extra
                                                # asset candidates per round

@@ -25,20 +25,23 @@ applyInPandas and applied with a cogrouped join — no driver collect, no
 incrementally (merge_bloom_index): each round ORs only its newly-seen
 delta in, so no round rescans the full seen table to rebuild filters.
 
-Anti-join shuffle at 10^10 rows: the exact probe is an equi-join on
-(url_hash, url); in this parquet stand-in Spark plans a sort-merge
-join that shuffles the (url_hash, url)-pruned seen projection each
-round (~50 MB at bench scale — negligible; ~600 GB at 10^10 rows —
-real).  The production fix is STORAGE layout, not a different
-operator: an Iceberg `seen` table bucket-partitioned by
-`bucket(N, url_hash)` with candidates repartitioned on the same
-transform gives a storage-partitioned join — both sides co-located,
-zero shuffle, the same plan shape this module already uses for the
-bloom cogroup.  (Broadcasting the bloom-survivor hash set to
-semi-filter seen map-side was considered and rejected: the maybe-set's
-size tracks per-round candidate volume, so it is exactly as
-un-broadcastable as the problem it would solve.)  (The north rule's cuckoo overflow tier would slot
-in per-bucket when a bucket's fill rate exceeds the bloom's design point;
+Anti-join shuffle at 10^10 rows — SOLVED BY STORAGE LAYOUT: the exact
+probe is an equi-join on (url_hash, url), and the `seen` table is
+written BUCKETED on exactly those keys (catalog.py SnapshotTable
+bucket_spec, wired in plans/crawl.py; Iceberg `bucket(N, keys)`
+equivalent).  The scan is bucket-aware, so the anti-join plans as a
+storage-partitioned join: NO Exchange on the seen side, ever — the
+only per-round shuffle is the candidate DELTA repartitioning into the
+N buckets, which is the side that's supposed to pay (delta-dominated
+round cost).  At bench scale Catalyst may still pick a broadcast of a
+tiny seen side — also shuffle-free; the bucketed shape is what
+survives when seen reaches 10^10 rows, and tests/test_planshape.py
+pins it (no Exchange above the bucketed scan with broadcast disabled).
+(Broadcasting the bloom-survivor hash set to semi-filter seen map-side
+was considered and rejected: the maybe-set's size tracks per-round
+candidate volume, so it is exactly as un-broadcastable as the problem
+it would solve.)  (The north rule's cuckoo overflow tier slots in
+per-bucket when a bucket's fill rate exceeds the bloom's design point;
 at the sandbox scale the bloom never saturates, so the overflow tier is
 represented by the `overflow` flag in the built index and exercised in
 tests via a tiny m_bits.)

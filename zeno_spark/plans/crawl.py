@@ -59,7 +59,8 @@ from zeno_spark.operators.schedule import (
 )
 
 _TABLES = (
-    "frontier", "seen", "claimed", "fetched", "metrics", "metadata", "bloom"
+    "frontier", "seen", "claimed", "fetched", "metrics", "metadata", "bloom",
+    "robots_tbl",
 )
 
 
@@ -118,7 +119,17 @@ class CrawlJob:
         self.links = links
         self.robots = robots
         self.frontier = self.catalog.table("frontier", schemas.FRONTIER)
-        self.seen = self.catalog.table("seen", schemas.SEEN)
+        # bucketed layout on the anti-join keys: the exact seen-check
+        # plans as a storage-partitioned join — no per-round shuffle of
+        # the seen projection (the documented 10^10-row scale fix in
+        # operators/dedup.py; guarded by tests/test_planshape.py)
+        self.seen = self.catalog.table(
+            "seen", schemas.SEEN,
+            bucket_spec=(
+                (cfg.seen_buckets, ("url_hash", "url"))
+                if cfg.seen_buckets else None
+            ),
+        )
         self.claimed = self.catalog.table("claimed", schemas.CLAIMED)
         self.fetched = self.catalog.table("fetched", schemas.FETCHED)
         self.metrics = self.catalog.table("metrics", schemas.METRICS)
@@ -127,6 +138,14 @@ class CrawlJob:
         # write_metadata_records; committed under the same round marker
         self.metadata = self.catalog.table("metadata", schemas.METADATA)
         self.bloom = self.catalog.table("bloom", schemas.BLOOM)
+        # live-robots cache as a CATALOG TABLE (not a driver-held union
+        # chain): appended per round under the round marker, so lineage
+        # depth stays constant, rollback keeps it consistent with the
+        # rounds that fetched it, and a RESUMED crawl never re-fetches
+        # robots for hosts it already covered.  `self.robots` stays the
+        # optional user-supplied static cache; the effective gate input
+        # is static ∪ table (_effective_robots).
+        self.robots_tbl = self.catalog.table("robots", schemas.ROBOTS)
         self.state_dir = os.path.join(warehouse, "_crawl_state")
         os.makedirs(self.state_dir, exist_ok=True)
 
@@ -303,12 +322,13 @@ class CrawlJob:
             # F10 live tier: fetch robots.txt through the transport for
             # hosts not yet in the cache, BEFORE the gate reads it
             self._refresh_robots(gated)
-        if cfg.robots and self.robots is not None:
-            gated = apply_robots_gate(gated, self.robots)
+        robots_cache = self._effective_robots()
+        if cfg.robots and robots_cache is not None:
+            gated = apply_robots_gate(gated, robots_cache)
         delays = (
-            self.robots
+            robots_cache
             if cfg.robots and cfg.respect_crawl_delay
-            and self.robots is not None
+            and robots_cache is not None
             else None
         )
         sched = politeness_schedule(gated, cfg, delays=delays).cache()
@@ -520,31 +540,42 @@ class CrawlJob:
         )
         return self.metadata.append(rows)
 
+    def _effective_robots(self) -> DataFrame | None:
+        """The gate's input: the user-supplied static cache (if any)
+        union the persisted live-fetched table.  The table read is a
+        fresh scan each round — no per-round lineage growth — and the
+        emptiness probe is manifest metadata, zero Spark jobs."""
+        live = (
+            self.robots_tbl.read()
+            if self.robots_tbl.row_count() > 0 else None
+        )
+        if self.robots is None:
+            return live
+        if live is None:
+            return self.robots
+        return self.robots.unionByName(live)
+
     def _refresh_robots(self, admitted: DataFrame) -> None:
-        """Extend the robots cache with freshly-fetched rows for hosts
-        this round would touch that the cache doesn't cover yet.  The
-        cache is one tiny row per host (it feeds a broadcast join), so
-        the per-round cost is one bounded transport batch — and zero
-        jobs on rounds that introduce no new host."""
+        """Fetch robots.txt for hosts this round would touch that the
+        cache doesn't cover yet, and APPEND them to the robots table
+        (round-marker commit scope: a crash rolls the fetch back with
+        the round; a resume reads the committed rows instead of
+        re-fetching).  The cache is one tiny row per host (it feeds a
+        broadcast join), so the per-round cost is one bounded transport
+        batch — and zero fetch jobs on rounds that introduce no new
+        host."""
         from zeno_spark.operators.robots import fetch_robots_live
 
         hosts = admitted.select("host").distinct()
-        if self.robots is not None:
+        covered = self._effective_robots()
+        if covered is not None:
             hosts = hosts.join(
-                self.robots.select("host"), "host", "left_anti"
+                covered.select("host"), "host", "left_anti"
             )
         new = fetch_robots_live(hosts, self.transport).cache()
-        if new.count() == 0:
-            new.unpersist()
-            return
-        if self.robots is None:
-            self.robots = new
-            return
-        merged = self.robots.unionByName(new).cache()
-        merged.count()  # materialize before dropping the part caches
-        self.robots.unpersist()
+        if new.count() > 0:
+            self.robots_tbl.append(new)
         new.unpersist()
-        self.robots = merged
 
     def phash_near_dups(self, max_hamming: int = 3) -> DataFrame:
         """Perceptual near-dup marks over the fetched sink — the
