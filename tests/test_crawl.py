@@ -461,3 +461,47 @@ def test_metadata_record_write(full_run):
     # snapshot discipline: rollback removes the side records too
     job.metadata.rollback_to(v0)
     assert job.metadata.read().filter(F.col("round") == 99).count() == 0
+
+
+def test_seed_lines_native_exact(spark, tmp_path):
+    """seed_lines assigns EXACT file line numbers natively — equal to
+    the RDD zipWithIndex numbering it replaced — across many file
+    splits, and the seed path contains no .rdd round-trip."""
+    import inspect
+
+    from zeno_spark.plans import crawl as crawl_mod
+    from zeno_spark.plans.crawl import seed_lines
+
+    path = str(tmp_path / "seeds.txt")
+    with open(path, "w") as fh:
+        for i in range(4000):
+            fh.write(f"http://h{i % 7}.example/p/{i}\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+        got = {r.line: r.url for r in seed_lines(spark, path).collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    want = dict(
+        spark.read.text(path).rdd.map(lambda r: r.value)
+        .zipWithIndex().map(lambda t: (t[1], t[0])).collect()
+    )
+    assert got == want
+    assert len(got) == 4000
+    # the production seed path must stay RDD-free
+    assert ".rdd" not in inspect.getsource(crawl_mod.CrawlJob.seed)
+    assert ".rdd" not in inspect.getsource(seed_lines)
+
+
+def test_seed_requires_line_column(spark, small_corpus, tmp_path):
+    from zeno_spark.config import CrawlConfig
+    from zeno_spark.plans.crawl import CrawlJob
+
+    job = CrawlJob(
+        spark, str(tmp_path / "wh_nl"), small_corpus["dfs"]["pages"],
+        small_corpus["dfs"]["links"], CrawlConfig(),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="line"):
+        job.seed(small_corpus["dfs"]["seeds"].drop("line"))

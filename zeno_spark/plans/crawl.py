@@ -64,6 +64,49 @@ _TABLES = (
 )
 
 
+def seed_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S1 — URL-per-line seed file -> (url, line) with EXACT line
+    numbers, fully native (no RDD round-trip, no driver-side read).
+
+    zipWithIndex's algorithm, columnar: pass 1 aggregates one row per
+    FILE SPLIT ((path, block_start) -> row count + min
+    monotonically_increasing_id), which is O(#splits) driver state at
+    any file size; the cumulative offsets broadcast back and pass 2
+    computes line = split_offset + (mid - split_min_mid).  Exactness
+    holds because a split's rows are contiguous and ascending in mid
+    within their partition, and splits are numbered in (file, offset)
+    order — byte order of the seed list, the same append order the
+    reference's queue file preserves (queue/enqueue.go).  At a
+    10^10-URL seed list both passes are distributed column scans; the
+    old RDD zipWithIndex fallback deserialized every row through
+    Python once and is gone."""
+    raw = spark.read.text(path).select(
+        F.col("value").alias("url"),
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.file_block_start").alias("__bs"),
+        F.monotonically_increasing_id().alias("__mid"),
+    )
+    splits = (
+        raw.groupBy("__fp", "__bs")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__m0"))
+        .collect()
+    )
+    splits.sort(key=lambda r: (r["__fp"], r["__bs"]))
+    rows, off = [], 0
+    for s in splits:
+        rows.append((s["__fp"], s["__bs"], off, s["__m0"]))
+        off += s["__n"]
+    if not rows:
+        return spark.createDataFrame([], "url string, line long")
+    offsets = spark.createDataFrame(
+        rows, "__fp string, __bs long, __off long, __m0 long"
+    )
+    return raw.join(F.broadcast(offsets), ["__fp", "__bs"]).select(
+        "url",
+        (F.col("__off") + F.col("__mid") - F.col("__m0")).alias("line"),
+    )
+
+
 def _claim_key():
     """Unique key of a frontier row *attempt*: the item id plus the
     url/redirect/retry coordinates (a retry or redirect continuation of
@@ -206,14 +249,15 @@ class CrawlJob:
     def seed(self, seed_urls_df: DataFrame) -> int:
         """Round -1: parse/canonicalize the seed list, drop unparsable
         rows (item.go:76-80), dedupe (crawl.go:217-235), enqueue at hop 0.
-        enqueue_seq = seed-file line order (a `line` column if the source
-        provides one, else zipWithIndex — deterministic for a stable
-        input file; the batch analogue of append order)."""
-        if "line" in seed_urls_df.columns:
-            raw = seed_urls_df.select("url", F.col("line").cast("long"))
-        else:
-            rdd = seed_urls_df.select("url").rdd.map(lambda r: r.url).zipWithIndex()
-            raw = self.spark.createDataFrame(rdd, "url string, line long")
+        enqueue_seq = seed-file line order via the required `line`
+        column (the batch analogue of append order).  File sources get
+        it natively from ``seed_lines`` — there is no RDD fallback."""
+        if "line" not in seed_urls_df.columns:
+            raise ValueError(
+                "seed list needs a `line` column (FIFO enqueue order); "
+                "derive it with plans.crawl.seed_lines for a seed file"
+            )
+        raw = seed_urls_df.select("url", F.col("line").cast("long"))
         parsed = (
             raw.withColumn("__e", U.enrich_url_udf(F.lit(None), F.col("url")))
             .select(
