@@ -110,7 +110,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_clusters": lambda s, d: cl.embedding_clusters(_embs(s, d)),
         "ann_lsh_topk": lambda s, d: sim.lsh_ann_topk(_embs(s, d)),
         "ann_ivf_topk": lambda s, d: sim.ivf_topk(_embs(s, d)),
+        # the PRODUCTION IVF path: build the cell-partitioned index on
+        # disk, then probe it with partition pruning.  Results are
+        # identical to ann_ivf_topk by construction (same centroid /
+        # assignment / probe expressions), so it shares the exact
+        # oracle — the driver gate covers build+probe end to end.
+        "ann_ivf_indexed": _ann_ivf_indexed,
     }
+
+
+def _ann_ivf_indexed(s, d):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    path = tempfile.mkdtemp(prefix="zeno_ivf_") + "/index"
+    embs = _embs(s, d)
+    sim.build_ivf_index(embs, path)
+    queries = embs.filter(F.col("vec_id") < 20)
+    return sim.ivf_topk_indexed(s, path, queries)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -147,4 +165,5 @@ def oracle_sql() -> dict[str, str]:
         # IVF coarse-quantizer tier: centroid pick / assignment / probe
         # are pure expressions too -> exact oracle
         "ann_ivf_topk": sim.ivf_topk_sql(),
+        "ann_ivf_indexed": sim.ivf_topk_sql(),
     }

@@ -369,18 +369,31 @@ def ivf_topk(
     100 TB plan shape: centroids are tiny (nlist rows) -> broadcast;
     cell ASSIGNMENT is one narrow map over the corpus (broadcast
     nested-loop against nlist rows + a per-vector argmax window keyed by
-    vec_id — partition-local after a hash on vec_id, which the writer
-    then reuses to bucket the index by `cell`).  The QUERY path touches
-    only nprobe/nlist of the corpus: with the index table written
-    partitioned by cell (repartition(cell) at build), cell pruning makes
-    the probe join a partition-pruned scan, the IVF property that makes
-    this the production path at 10^9+ vectors.
+    vec_id).  The QUERY path touches only nprobe/nlist of the corpus —
+    and with the index MATERIALIZED by ``build_ivf_index`` (parquet
+    partitioned by `cell`), ``ivf_topk_indexed`` makes that literal:
+    partition pruning reads only the probed cells' files.  This
+    in-memory form recomputes the assignment (the one-shot /
+    oracle-checked path); the indexed form is the production path at
+    10^9+ vectors.
     """
-    from pyspark.sql import Window
-
     corpus = _with_norm2(embeddings.select("vec_id", "embedding"), "n2")
+    cent = _ivf_centroids(corpus, nlist)
+    assigned = _ivf_assign(corpus, cent)
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n2").alias("q_n2"),
+    )
+    probes = _ivf_probes(queries, cent, nprobe)
+    return _ivf_rerank(probes, assigned, k)
+
+
+def _ivf_centroids(corpus: DataFrame, nlist: int) -> DataFrame:
+    """Deterministic coarse centroids: the nlist corpus vectors with the
+    smallest Knuth-hash of vec_id (k-means-init slot)."""
     cent_key = F.expr("(cast(vec_id as bigint) * 2654435761) % 4294967296")
-    cent = (
+    return (
         corpus.orderBy(cent_key.asc(), F.col("vec_id").asc())
         .limit(nlist)
         .select(
@@ -389,6 +402,12 @@ def ivf_topk(
             F.col("n2").alias("c_n2"),
         )
     )
+
+
+def _ivf_assign(corpus: DataFrame, cent: DataFrame) -> DataFrame:
+    """Argmax-cosine cell assignment: one narrow broadcast pass."""
+    from pyspark.sql import Window
+
     cos_to_cent = (
         F.expr(_DOT.format(a="embedding", b="c_emb"))
         / (F.sqrt(F.col("n2")) * F.sqrt(F.col("c_n2")))
@@ -396,24 +415,24 @@ def ivf_topk(
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("centroid_id").asc()
     )
-    assigned = (
+    return (
         corpus.crossJoin(F.broadcast(cent))
         .select("vec_id", "embedding", "n2", "centroid_id", cos_to_cent)
         .withColumn("__rn", F.row_number().over(w_assign))
         .filter(F.col("__rn") == 1)
         .select("vec_id", "embedding", "n2", F.col("centroid_id").alias("cell"))
     )
+
+
+def _ivf_probes(queries: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """Each query's nprobe nearest cells (query_id, q_emb, q_n2, p_cell)."""
+    from pyspark.sql import Window
+
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("ccos").desc(), F.col("centroid_id").asc()
     )
-    probes = (
-        corpus.filter(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("n2").alias("q_n2"),
-        )
-        .crossJoin(F.broadcast(cent))
+    return (
+        queries.crossJoin(F.broadcast(cent))
         .select(
             "query_id", "q_emb", "q_n2", "centroid_id",
             (
@@ -427,9 +446,15 @@ def ivf_topk(
             "query_id", "q_emb", "q_n2", F.col("centroid_id").alias("p_cell")
         )
     )
-    # each corpus vector lives in exactly ONE cell and a query's probe
-    # cells are distinct -> no duplicate (query, neighbor) rows, no
-    # dedupe shuffle needed (unlike multi-probe LSH)
+
+
+def _ivf_rerank(probes: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
+    """Exact cosine re-rank of probed cells' vectors.  Each corpus
+    vector lives in exactly ONE cell and a query's probe cells are
+    distinct -> no duplicate (query, neighbor) rows, no dedupe shuffle
+    (unlike multi-probe LSH)."""
+    from pyspark.sql import Window
+
     scored = (
         F.broadcast(probes)
         .join(assigned, F.col("p_cell") == F.col("cell"))
@@ -451,6 +476,56 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def build_ivf_index(
+    embeddings: DataFrame, path: str, nlist: int = IVF_NLIST
+) -> None:
+    """Materialize the IVF index: the cell-assigned corpus written as
+    parquet PARTITIONED BY cell (the Iceberg/Hive partition transform),
+    plus the centroid table under ``_centroids`` (the leading underscore
+    hides it from the data scan's file listing).  One assignment pass at
+    build time; every probe afterwards reads only nprobe cells' files —
+    the partition-pruned scan promised by the ivf_topk docstring, now
+    real.  At 10^9+ vectors this is the only shape that works: the
+    probe cost is nprobe/nlist of the corpus, not a rescan."""
+    corpus = _with_norm2(embeddings.select("vec_id", "embedding"), "n2")
+    cent = _ivf_centroids(corpus, nlist)
+    assigned = _ivf_assign(corpus, cent)
+    # one file per cell: repartition on the partition column before the
+    # partitioned write (otherwise every task writes every cell it saw)
+    (
+        assigned.repartition(nlist, F.col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Probe a materialized IVF index (build_ivf_index): pick each
+    query's nprobe cells from the tiny centroid table, then scan ONLY
+    those cells' partitions (driver collects the probed cell ids —
+    bounded by n_queries*nprobe ints — and pushes them as a literal
+    partition filter, so the parquet scan lists/reads just those
+    directories).  Results are identical to ivf_topk on the same corpus
+    and parameters; equality is pinned in tests together with the
+    partition-pruning assertion."""
+    cent = spark.read.parquet(f"{path}/_centroids")
+    q = _with_norm2(queries.select("vec_id", "embedding"), "q_n2").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("q_n2"),
+    )
+    probes = _ivf_probes(q, cent, nprobe).localCheckpoint(eager=True)
+    cells = [r.p_cell for r in probes.select("p_cell").distinct().collect()]
+    assigned = spark.read.parquet(path).filter(F.col("cell").isin(cells))
+    return _ivf_rerank(probes, assigned, k)
 
 
 def ivf_topk_sql(
