@@ -273,3 +273,125 @@ def test_sitespecific_candidates_in_round_shape(spark):
     from zeno_spark import schemas
 
     assert set(cand.columns) == {f.name for f in schemas.FRONTIER.fields}
+
+
+# ---------------------------------------------------------------------------
+# yt-dlp subprocess dispatch (capture.go:337-395, ytdlp/{server,ytdlp}.go)
+# — driven by a FAKE yt-dlp executable on PATH (the container ships none;
+# the gate is binary presence, ytdlp.go FindPath)
+# ---------------------------------------------------------------------------
+
+_FAKE_YTDLP = '''#!/usr/bin/env python3
+import json, sys, urllib.request
+# argv: <replay-url> --dump-json -f <format>  (ytdlp.go:15 argument shape)
+assert sys.argv[2] == "--dump-json" and sys.argv[3] == "-f", sys.argv
+body = urllib.request.urlopen(sys.argv[1]).read().decode()
+vid = body.split("vid:")[1].split(" ")[0]
+video = {
+  "id": vid, "is_live": False,
+  "requested_formats": [
+    {"url": "https://v.example/s", "acodec": "none", "vcodec": "vp9",
+     "http_headers": {"User-Agent": "ua1"}},
+    {"url": "https://a.example/s", "acodec": "opus", "vcodec": "none"},
+  ],
+  "subtitles": {"en": [{"url": "https://s.example/sub.vtt"}]},
+  "thumbnails": [{"url": "https://t.example/th.jpg"}],
+  "formats": [{"format_note": "storyboard", "url": "https://sb.example/sb",
+               "fragments": [{"url": "https://sb.example/f1"}]}],
+}
+print(json.dumps(video))
+'''
+
+
+@pytest.fixture()
+def fake_ytdlp(tmp_path):
+    import os
+    import stat
+
+    p = tmp_path / "yt-dlp"
+    p.write_text(_FAKE_YTDLP)
+    os.chmod(p, os.stat(p).st_mode | stat.S_IEXEC)
+    return str(p)
+
+
+def test_run_ytdlp_replays_body_through_subprocess(fake_ytdlp):
+    """The replay server serves the CAPTURED body (the fake binary
+    proves it by echoing the embedded video id back), and the JSON
+    selection matches ytdlp.go:getJSON."""
+    body = b"<html><!-- vid:abc123 --></html>"
+    streams, metas, raw, headers = ss.run_ytdlp(body, binary=fake_ytdlp)
+    assert streams == [
+        "https://v.example/s&video_id=abc123&stream_type=video",
+        "https://a.example/s&video_id=abc123&stream_type=audio",
+    ]
+    assert metas == [
+        "https://s.example/sub.vtt", "https://t.example/th.jpg",
+        "https://sb.example/sb", "https://sb.example/f1",
+    ]
+    assert headers == {"User-Agent": "ua1"}
+    assert json.loads(raw)["id"] == "abc123"
+
+
+def test_capture_youtube_gated_on_binary(monkeypatch):
+    monkeypatch.setenv("PATH", "/nonexistent")
+    with pytest.raises(NotImplementedError, match="yt-dlp"):
+        ss.capture_youtube("https://youtube.com/watch?v=x", body=b"x")
+
+
+def test_ytdlp_sidecar_to_metadata_record(spark, fake_ytdlp, tmp_path):
+    """E2E through the S7 sink: fetched watch-page rows -> per-row
+    subprocess in the worker -> raw JSON lands in the metadata table
+    via write_metadata_records with the reference's content type
+    (capture.go:386-389)."""
+    from zeno_spark import fixtures
+    from zeno_spark.config import CrawlConfig
+    from zeno_spark.plans.crawl import CrawlJob
+
+    rows = spark.createDataFrame(
+        [
+            ("https://youtube.com/watch?v=k1", b"<html><!-- vid:k1 --></html>"),
+            ("https://youtube.com/watch?v=k2", b"<html><!-- vid:k2 --></html>"),
+            ("https://other.example/page", b"<html>nope</html>"),
+        ],
+        "url string, bytes binary",
+    )
+    side = ss.ytdlp_sidecar_rows(rows, binary=fake_ytdlp).cache()
+    got = {r.url: r for r in side.collect()}
+    assert set(got) == {
+        "https://youtube.com/watch?v=k1", "https://youtube.com/watch?v=k2"
+    }
+    for u, r in got.items():
+        assert r.err is None
+        assert json.loads(bytes(r.payload))["id"] == u.split("v=")[1]
+        assert any("stream_type=video" in x for x in r.urls)
+
+    corpus = fixtures.build_corpus(spark, n_pages=40, n_hosts=4, seed=42)
+    job = CrawlJob(spark, str(tmp_path / "wh_yt"), corpus["pages"],
+                   corpus["links"], CrawlConfig(max_rounds=1))
+    job.run(seeds=corpus["seeds"], max_rounds=1)
+    job.write_metadata_records(
+        side.filter(side.payload.isNotNull()), round_no=1,
+        content_type=ss.YTDLP_METADATA_CONTENT_TYPE,
+    )
+    recs = job.metadata.read().filter(
+        "content_type like '%generator=yt-dlp%'").collect()
+    assert {r.url for r in recs} == set(got)
+    assert all(r.record_type == "metadata" for r in recs)
+    side.unpersist()
+
+
+def test_ytdlp_sidecar_errors_surface_not_raise(spark, tmp_path):
+    """A failing binary must log-and-continue (capture.go:341-346), not
+    kill the batch: the row surfaces with err set and no payload."""
+    import os
+    import stat
+
+    bad = tmp_path / "yt-dlp-bad"
+    bad.write_text("#!/bin/sh\necho boom >&2\nexit 3\n")
+    os.chmod(bad, os.stat(bad).st_mode | stat.S_IEXEC)
+    rows = spark.createDataFrame(
+        [("https://youtube.com/watch?v=z", b"<html><!-- vid:z --></html>")],
+        "url string, bytes binary",
+    )
+    [r] = ss.ytdlp_sidecar_rows(rows, binary=str(bad)).collect()
+    assert r.payload is None and "rc=3" in r.err and r.urls == []

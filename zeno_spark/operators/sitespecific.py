@@ -20,11 +20,18 @@ time (capture.go:213-315) and post-response (capture.go:396-416,
      parse.route_extract) — permalinks as outlinks + payload URL walk
      as assets.
 
-Not rebuilt (documented stubs, like the reference's optional deps):
-ina / cloudflarestream / youtube+yt-dlp need live secondary fetches
-(player JS, DASH manifests, a yt-dlp subprocess) that have no sandbox
-analogue; their DETECTORS are real so routing can be tested, and the
-capture functions raise NotImplementedError with the reference pointer.
+youtube+yt-dlp is fully wired as a GATED subprocess dispatch:
+``run_ytdlp`` replays the fetched body through a localhost server
+(server.go:serveBody) and shells out to the yt-dlp binary with the
+reference's exact arguments (ytdlp.go:getJSON); the JSON selection
+logic is ``parse_ytdlp_video_json`` and the raw output becomes an S7
+metadata record.  The gate is binary presence (FindPath analogue) —
+this container ships no yt-dlp, so tests drive the slot with a fake
+executable on PATH.  Still stubs (documented, like the reference's
+optional deps): ina / cloudflarestream captures need live secondary
+fetches (player JS, DASH manifests) with no sandbox analogue; their
+DETECTORS are real so routing can be tested, and the capture functions
+raise NotImplementedError with the reference pointer.
 
 Reference files: sitespecific/{truthsocial,facebook,libsyn,telegram,
 tiktok,vk,reddit,ina,cloudflarestream,youtube}/*.go, capture.go.
@@ -340,11 +347,130 @@ def parse_ytdlp_video_json(
     return streams, metas, headers
 
 
-def capture_youtube(url: str):
-    raise NotImplementedError(
-        "youtube capture shells out to yt-dlp against a replay server "
-        "(capture.go:337-395, ytdlp/server.go); the JSON parsing half "
-        "is implemented (parse_ytdlp_video_json)"
+# the reference's exact format selector (ytdlp.go:15): best https video
+# + best https audio
+YTDLP_FORMAT = "bv[protocol=https]+ba[protocol=https]"
+# metadata-record content type, capture.go:389 verbatim
+YTDLP_METADATA_CONTENT_TYPE = (
+    "application/json; metadata-type=ia-video; generator=yt-dlp"
+)
+
+
+def find_ytdlp() -> str | None:
+    """ytdlp.go FindPath analogue: the gate for the subprocess slot."""
+    import shutil
+
+    return shutil.which("yt-dlp")
+
+
+def serve_body(body: bytes):
+    """ytdlp/server.go serveBody: serve the fetched watch-page body on
+    an ephemeral localhost port (every request gets the same bytes) so
+    yt-dlp re-parses the exact capture instead of re-fetching the live
+    site.  Returns (port, server); caller must ``server.shutdown()``."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class _Replay(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Replay)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv.server_address[1], srv
+
+
+def run_ytdlp(
+    body: bytes, binary: str = "yt-dlp", timeout: float = 120.0
+) -> tuple[list[str], list[str], str, dict[str, str]]:
+    """capture.go:337-395 / ytdlp.go:getJSON: replay the body on
+    localhost, run `<binary> http://localhost:<port> --dump-json -f
+    <YTDLP_FORMAT>`, and apply the reference's URL selection to the
+    JSON.  Returns (stream_urls, meta_urls, raw_json, http_headers);
+    raises RuntimeError with stderr on a nonzero exit, like the
+    reference propagates the exec error."""
+    import subprocess
+
+    port, srv = serve_body(body)
+    try:
+        proc = subprocess.run(
+            [binary, f"http://localhost:{port}", "--dump-json",
+             "-f", YTDLP_FORMAT],
+            capture_output=True, timeout=timeout,
+        )
+    finally:
+        srv.shutdown()
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"yt-dlp error: rc={proc.returncode}\n"
+            f"stderr: {proc.stderr.decode('utf-8', 'replace')}"
+        )
+    raw = proc.stdout.decode("utf-8", "replace")
+    streams, metas, headers = parse_ytdlp_video_json(raw)
+    return streams, metas, raw, headers
+
+
+def capture_youtube(
+    url: str, body: bytes | None = None, binary: str | None = None
+) -> tuple[list[str], list[str], str, dict[str, str]]:
+    """The gated youtube dispatch: requires the fetched body and a
+    yt-dlp binary on PATH (or passed explicitly).  The caller writes
+    the returned raw JSON as an S7 metadata record
+    (YTDLP_METADATA_CONTENT_TYPE) and enqueues stream/meta URLs."""
+    binary = binary or find_ytdlp()
+    if binary is None:
+        raise NotImplementedError(
+            "yt-dlp binary not on PATH — the subprocess slot is gated "
+            "on its presence (ytdlp.go FindPath); this container ships "
+            "no yt-dlp, tests exercise the slot with a fake executable"
+        )
+    if body is None:
+        raise ValueError(f"youtube capture needs the fetched body of {url}")
+    return run_ytdlp(body, binary)
+
+
+def ytdlp_sidecar_rows(df: DataFrame, binary: str) -> DataFrame:
+    """Spark tier of the dispatch: for fetched (url, bytes) rows that
+    are youtube watch pages, run the subprocess per row inside the
+    worker (one replay server per row, like the reference's per-capture
+    serveBody) and emit (url, payload=raw JSON, urls=stream+meta URLs).
+    The payload feeds CrawlJob.write_metadata_records; the urls column
+    feeds the asset-candidate pipeline.  Rows that error surface with a
+    null payload and the error text in ``err`` — the reference logs and
+    continues (capture.go:341-346)."""
+    import pandas as pd
+
+    def _run(batches):
+        for pdf in batches:
+            out = []
+            for url, body in zip(pdf["url"], pdf["bytes"]):
+                if not is_youtube_watch(url) or body is None:
+                    continue
+                try:
+                    streams, metas, raw, _h = run_ytdlp(bytes(body), binary)
+                    out.append(
+                        {"url": url, "payload": raw.encode("utf-8"),
+                         "urls": streams + metas, "err": None}
+                    )
+                except Exception as e:  # log-and-continue parity
+                    out.append(
+                        {"url": url, "payload": None, "urls": [],
+                         "err": str(e)[:500]}
+                    )
+            yield pd.DataFrame(
+                out, columns=["url", "payload", "urls", "err"]
+            )
+
+    return df.select("url", "bytes").mapInPandas(
+        _run,
+        schema="url string, payload binary, urls array<string>, err string",
     )
 
 
