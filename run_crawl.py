@@ -15,6 +15,10 @@ changes; see zeno_spark/session.py):
 Resume: re-running with the same --warehouse resumes from the last
 committed round marker (plans/crawl.py recover()); a crashed round is
 rolled back and re-run idempotently.
+
+Config layering (config/config.go:98-156 order, minus Consul):
+explicit flags > ZENO_* env vars (ZENO_PER_HOST_BUDGET=32) >
+--config zeno-config.yaml > built-in defaults.
 """
 
 from __future__ import annotations
@@ -28,7 +32,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def main() -> None:
-    ap = argparse.ArgumentParser(description="zeno_spark crawl driver")
+    # config layering, reference order (config/config.go:98-156, minus
+    # the Consul tier): Flags > ZENO_* env > --config YAML > defaults.
+    # The file/env layers merge into argparse DEFAULTS, so an
+    # explicitly-passed flag always wins — viper's exact precedence.
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", default=None)
+    pre_args, _rest = pre.parse_known_args()
+
+    ap = argparse.ArgumentParser(description="zeno_spark crawl driver",
+                                 parents=[pre])
     ap.add_argument("urls", nargs="*",
                     help="seed URLs as positional args (S2, `zeno get url "
                          "<URL...>` — cmd/get_url.go:36-55); merged after "
@@ -71,7 +84,21 @@ def main() -> None:
     ap.add_argument("--warc-out",
                     help="after the crawl, export the fetched table to "
                          ".warc.gz files in this directory (S6 sink parity)")
+    from zeno_spark.configfile import layered_defaults
+
+    base = {
+        a.dest: a.default for a in ap._actions
+        if a.dest not in ("help", "config", "urls")
+    }
+    ap.set_defaults(**layered_defaults(base, yaml_path=pre_args.config))
+    # `required=True` would reject a file/env-supplied warehouse: enforce
+    # presence manually after the merge instead
+    for a in ap._actions:
+        if a.dest == "warehouse":
+            a.required = False
     args = ap.parse_args()
+    if not args.warehouse:
+        ap.error("--warehouse is required (flag, ZENO_WAREHOUSE, or config)")
 
     from zeno_spark.config import CrawlConfig
     from zeno_spark.plans.crawl import CrawlJob
@@ -97,12 +124,21 @@ def main() -> None:
         pages = spark.read.parquet(args.pages) if args.pages else None
         links = spark.read.parquet(args.links) if args.links else None
         seeds = None
+        n_file_lines = 0
         if args.seeds:
-            seeds = spark.read.text(args.seeds).withColumnRenamed("value", "url")
+            # native exact line numbering — no RDD zipWithIndex pass
+            from zeno_spark.plans.crawl import seed_lines
+
+            seeds = seed_lines(spark, args.seeds)
+            if args.urls:
+                n_file_lines = seeds.count()
         if args.urls:
-            # S2: argv URLs enqueue after the file block, in argv order;
-            # CrawlJob.seed() assigns the FIFO line order over the union
-            argv_df = spark.createDataFrame([(u,) for u in args.urls], "url string")
+            # S2: argv URLs enqueue after the file block, in argv order
+            # (cmd/get_url.go:36-55)
+            argv_df = spark.createDataFrame(
+                [(u, n_file_lines + i) for i, u in enumerate(args.urls)],
+                "url string, line long",
+            )
             seeds = argv_df if seeds is None else seeds.unionByName(argv_df)
         robots = None
 

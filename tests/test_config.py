@@ -1,0 +1,103 @@
+"""Config layering (zeno_spark/configfile.py) — the reference's
+Flags > Env > YAML > defaults precedence (config/config.go:98-156,
+viper semantics), plus the flat-YAML subset parser."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+from zeno_spark.configfile import layered_defaults, parse_simple_yaml
+
+
+def test_yaml_subset_scalars_lists_comments(tmp_path):
+    text = """\
+# crawl shape
+rounds: 6
+per-host-budget: 32        # dashes normalize to snake_case
+strategy: lifo
+bloom: false
+proxy: "http://proxy:3128"
+bypass-proxy: [a.example, b.example]
+excluded-hosts:
+  - c.example
+  - d.example
+ratio: 0.25
+nothing: null
+"""
+    got = parse_simple_yaml(text)
+    assert got == {
+        "rounds": 6, "per_host_budget": 32, "strategy": "lifo",
+        "bloom": False, "proxy": "http://proxy:3128",
+        "bypass_proxy": ["a.example", "b.example"],
+        "excluded_hosts": ["c.example", "d.example"],
+        "ratio": 0.25, "nothing": None,
+    }
+
+
+def test_yaml_subset_rejects_nested_mapping():
+    with pytest.raises(ValueError, match="nested"):
+        parse_simple_yaml("outer:\n  inner: 1\n")
+
+
+def test_precedence_env_over_file_over_default(tmp_path):
+    cfg = tmp_path / "zeno-config.yaml"
+    cfg.write_text("rounds: 6\nstrategy: lifo\nbloom: false\n")
+    base = {"rounds": 8, "strategy": "fifo", "bloom": True,
+            "per_host_budget": 16, "bypass_proxy": []}
+    merged = layered_defaults(
+        base, yaml_path=str(cfg),
+        env={"ZENO_ROUNDS": "3", "ZENO_BYPASS_PROXY": "x.example,y.example",
+             "OTHER_VAR": "ignored"},
+    )
+    assert merged["rounds"] == 3           # env beats file
+    assert merged["strategy"] == "lifo"    # file beats default
+    assert merged["bloom"] is False        # file-set bool coerced
+    assert merged["per_host_budget"] == 16  # default survives
+    assert merged["bypass_proxy"] == ["x.example", "y.example"]
+
+
+def test_unknown_file_key_fails_loudly(tmp_path):
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("per-host-budgett: 5\n")
+    with pytest.raises(ValueError, match="unknown config keys"):
+        layered_defaults({"per_host_budget": 16}, yaml_path=str(cfg), env={})
+
+
+def test_cli_flag_beats_env_and_file_end_to_end(tmp_path):
+    """Drive run_crawl.py's real parser: an explicit flag wins over both
+    layers; an unset flag takes the env value over the file value."""
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text("rounds: 6\nper-host-budget: 9\n"
+                   f"warehouse: {tmp_path}/wh\nsynthetic-pages: 300\n")
+    code = (
+        "import sys, runpy, argparse\n"
+        "sys.argv = ['run_crawl.py', '--config', sys.argv[1],"
+        " '--rounds', '2']\n"
+        "import run_crawl\n"
+        "orig = argparse.ArgumentParser.parse_args\n"
+        "def spy(self, *a, **k):\n"
+        "    ns = orig(self, *a, **k)\n"
+        "    if hasattr(ns, 'warehouse'):\n"
+        "        print('PARSED', ns.rounds, ns.per_host_budget,"
+        " ns.max_hops, ns.warehouse)\n"
+        "        sys.exit(0)\n"
+        "    return ns\n"
+        "argparse.ArgumentParser.parse_args = spy\n"
+        "run_crawl.main()\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code, str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={"PATH": "/usr/bin:/bin", "ZENO_PER_HOST_BUDGET": "7",
+             "HOME": "/root", "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = next(ln for ln in out.stdout.splitlines() if ln.startswith("PARSED"))
+    _, rounds, budget, hops, wh = line.split()
+    assert rounds == "2"      # explicit flag wins
+    assert budget == "7"      # env beats file (file said 9)
+    assert hops == "3"        # untouched default
+    assert wh == f"{tmp_path}/wh"  # file supplies required option

@@ -1,0 +1,152 @@
+"""Config layering for the crawl driver — the reference's
+Flags -> Env -> YAML merge (config/config.go:98-156; viper semantics:
+an explicitly-passed flag wins, then ``ZENO_*`` environment variables
+with ``-``/``.`` mapped to ``_``, then the config file, then the
+option's default).  The Consul remote tier is out of scope (no service
+catalog in a Spark deployment's driver; the same YAML can be shipped by
+the cluster manager).
+
+No external YAML dependency is available in this image, so the parser
+is a deliberate SUBSET of YAML sufficient for a flat crawl config:
+
+  * ``key: value`` scalars (str / int / float / bool / null)
+  * inline lists ``key: [a, b, c]``
+  * block lists::
+
+        excluded-hosts:
+          - a.example
+          - b.example
+
+  * ``#`` comments and blank lines
+  * quoted strings (single or double)
+
+Nested mappings are rejected loudly rather than misread.  Keys are
+normalized to snake_case so YAML may use the reference's dashed flag
+names (``per-host-budget``) or python names interchangeably.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+ENV_PREFIX = "ZENO_"
+
+
+def _scalar(raw: str) -> Any:
+    s = raw.strip()
+    if not s or s.lower() in ("null", "~"):
+        return None
+    if (s[0] == s[-1] == '"') or (s[0] == s[-1] == "'"):
+        return s[1:-1]
+    low = s.lower()
+    if low in ("true", "yes", "on"):
+        return True
+    if low in ("false", "no", "off"):
+        return False
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    return s
+
+
+def _norm_key(k: str) -> str:
+    return k.strip().replace("-", "_").replace(".", "_")
+
+
+def parse_simple_yaml(text: str) -> dict[str, Any]:
+    """Flat-YAML subset parser (module docstring).  Raises ValueError on
+    structures outside the subset so a mis-shaped file fails loudly."""
+    out: dict[str, Any] = {}
+    pending_list: str | None = None
+    for lineno, raw in enumerate(text.splitlines(), 1):
+        line = raw.split("#", 1)[0].rstrip()
+        if not line.strip():
+            continue
+        if line.lstrip().startswith("- "):
+            if pending_list is None:
+                raise ValueError(f"line {lineno}: list item outside a list")
+            out[pending_list].append(_scalar(line.lstrip()[2:]))
+            continue
+        if line[0] in (" ", "\t"):
+            raise ValueError(
+                f"line {lineno}: nested mappings are outside the "
+                f"supported flat-config subset"
+            )
+        pending_list = None
+        key, sep, value = line.partition(":")
+        if not sep:
+            raise ValueError(f"line {lineno}: expected 'key: value'")
+        key = _norm_key(key)
+        value = value.strip()
+        if not value:
+            out[key] = []
+            pending_list = key
+        elif value.startswith("[") and value.endswith("]"):
+            inner = value[1:-1].strip()
+            out[key] = (
+                [_scalar(v) for v in inner.split(",")] if inner else []
+            )
+        else:
+            out[key] = _scalar(value)
+    return out
+
+
+def _coerce(value: Any, like: Any) -> Any:
+    """Coerce a yaml/env value to the type of the CLI default it
+    overrides (viper's Get* typing)."""
+    if like is None or value is None:
+        return value
+    if isinstance(like, bool):
+        if isinstance(value, bool):
+            return value
+        return str(value).strip().lower() in ("1", "true", "yes", "on")
+    if isinstance(like, int) and not isinstance(like, bool):
+        return int(value)
+    if isinstance(like, float):
+        return float(value)
+    if isinstance(like, (list, tuple)):
+        if isinstance(value, str):
+            value = [v.strip() for v in value.split(",") if v.strip()]
+        return type(like)(value)
+    return str(value)
+
+
+def layered_defaults(
+    base: Mapping[str, Any],
+    yaml_path: str | None = None,
+    env: Mapping[str, str] | None = None,
+) -> dict[str, Any]:
+    """Merge the env and config-file layers UNDER the CLI flags:
+    returns an updated defaults dict for argparse ``set_defaults`` — an
+    explicitly-passed flag then wins automatically, which is exactly
+    viper's precedence (Flags > Env > File > defaults).
+
+    ``base`` maps option dest names (snake_case) to their hardcoded
+    defaults; values from the file/env are coerced to the default's
+    type.  Unknown file keys raise (a typo'd option must not silently
+    no-op); unknown ZENO_* env vars are ignored (the environment
+    legitimately carries unrelated variables)."""
+    import os
+
+    merged = dict(base)
+    if yaml_path:
+        with open(yaml_path) as fh:
+            file_vals = parse_simple_yaml(fh.read())
+        unknown = set(file_vals) - set(merged)
+        if unknown:
+            raise ValueError(
+                f"unknown config keys in {yaml_path}: {sorted(unknown)}"
+            )
+        for k, v in file_vals.items():
+            merged[k] = _coerce(v, base[k])
+    env = os.environ if env is None else env
+    for k in base:
+        ev = env.get(ENV_PREFIX + k.upper())
+        if ev is not None:
+            merged[k] = _coerce(ev, base[k])
+    return merged
