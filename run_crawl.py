@@ -84,6 +84,9 @@ def main() -> None:
     ap.add_argument("--warc-out",
                     help="after the crawl, export the fetched table to "
                          ".warc.gz files in this directory (S6 sink parity)")
+    ap.add_argument("--tui", action="store_true",
+                    help="in-place live stats table (the reference's "
+                         "250ms uilive render loop, crawl/stats.go)")
     from zeno_spark.configfile import layered_defaults
 
     base = {
@@ -164,7 +167,13 @@ def main() -> None:
         )
     job = CrawlJob(spark, args.warehouse, pages, links, cfg, robots=robots,
                    transport=transport)
-    stats = job.run(seeds=seeds, max_rounds=args.rounds)
+    if args.tui:
+        from zeno_spark.operators.tui import LiveStatsPrinter
+
+        with LiveStatsPrinter(job, job_name=Path(args.warehouse).name):
+            stats = job.run(seeds=seeds, max_rounds=args.rounds)
+    else:
+        stats = job.run(seeds=seeds, max_rounds=args.rounds)
     for s in stats:
         print(json.dumps(s.__dict__))
     if args.warc_out:

@@ -15,8 +15,8 @@ from zeno_spark.streaming import live
 
 def _m(rnd: int, host: str, ok: int) -> tuple:
     # (round, host, scheduled, fetched_ok, fetched_err, redirects,
-    #  retries, discovered, new_after_dedup)
-    return (rnd, host, ok + 2, ok, 1, 0, 0, ok * 3, ok * 2)
+    #  retries, discovered, new_after_dedup, payload_bytes, deduped_bytes)
+    return (rnd, host, ok + 2, ok, 1, 0, 0, ok * 3, ok * 2, ok * 100, ok * 10)
 
 
 def _append(spark, table, rows) -> None:

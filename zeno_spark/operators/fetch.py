@@ -81,6 +81,11 @@ FETCH_META = T.StructType(
         T.StructField("redirect_to", T.StringType(), True),
         T.StructField("status", T.IntegerType(), False),  # effective status
         T.StructField("payload_digest", T.StringType(), True),
+        # payload octet count, measured where the bytes are already in
+        # hand (the verify scan) — feeds the warc.DataTotal /
+        # LocalDedupeTotal byte counters (crawl/stats.go:59-63) without
+        # ever re-scanning the binary column
+        T.StructField("payload_size", T.LongType(), True),
         T.StructField("outlinks", T.ArrayType(T.StringType()), True),
         T.StructField("assets", T.ArrayType(T.StringType()), True),
     ]
@@ -262,6 +267,8 @@ def fetch_meta(
             & (F.length("__bytes") >= F.lit(min_size)),
             F.sha2(F.col("__bytes"), 256),
         ).alias("payload_digest"),
+        F.when(~failed, F.octet_length("__bytes"))
+        .cast("long").alias("payload_size"),
         F.col("__outlinks").alias("outlinks"),
         F.col("__assets").alias("assets"),
         F.col("__bytes"),
@@ -296,6 +303,7 @@ def fetch_meta(
         F.lit(None).cast("string").alias("redirect_to"),
         F.lit(404).cast("int").alias("status"),
         F.lit(None).cast("string").alias("payload_digest"),
+        F.lit(None).cast("long").alias("payload_size"),
         F.lit(None).cast("array<string>").alias("outlinks"),
         F.lit(None).cast("array<string>").alias("assets"),
     )

@@ -449,6 +449,7 @@ class CrawlJob:
         kinds = [
             "scheduled", "fetched_ok", "fetched_err", "redirects",
             "retries", "discovered", "new_after_dedup",
+            "payload_bytes", "deduped_bytes",
         ]
         is_ok = F.col("status") == 200
         is_redir = F.col("status").between(300, 399) & F.col("redirect_to").isNotNull()
@@ -456,32 +457,52 @@ class CrawlJob:
             F.col("retry") + 1 <= F.lit(cfg.max_retry)
         )
         zero = F.lit(0).cast("long")
-        res_agg = results.groupBy("host").agg(
-            F.count(F.lit(1)).alias("scheduled"),
-            F.sum(is_ok.cast("long")).alias("fetched_ok"),
-            F.sum((~is_ok).cast("long")).alias("fetched_err"),
-            F.sum(is_redir.cast("long")).alias("redirects"),
-            F.sum(is_retry.cast("long")).alias("retries"),
-        ).select(
-            "host", "scheduled", "fetched_ok", "fetched_err", "redirects",
-            "retries", zero.alias("discovered"), zero.alias("new_after_dedup"),
+        def _pad(df, *have):
+            return df.select(
+                "host", *[F.col(k) if k in have else zero.alias(k)
+                          for k in kinds]
+            )
+
+        res_agg = _pad(
+            results.groupBy("host").agg(
+                F.count(F.lit(1)).alias("scheduled"),
+                F.sum(is_ok.cast("long")).alias("fetched_ok"),
+                F.sum((~is_ok).cast("long")).alias("fetched_err"),
+                F.sum(is_redir.cast("long")).alias("redirects"),
+                F.sum(is_retry.cast("long")).alias("retries"),
+            ),
+            "scheduled", "fetched_ok", "fetched_err", "redirects", "retries",
         )
-        cand_agg = cand.groupBy("host").agg(
-            F.count(F.lit(1)).alias("discovered")
-        ).select(
-            "host", zero.alias("scheduled"), zero.alias("fetched_ok"),
-            zero.alias("fetched_err"), zero.alias("redirects"),
-            zero.alias("retries"), "discovered", zero.alias("new_after_dedup"),
+        # byte lineage over the post-revisit-marking sink rows: the
+        # narrow payload_size column (measured once, in the verify scan)
+        # splits into octets sunk vs octets D8 saved — the reference's
+        # warc.DataTotal / LocalDedupeTotal counters (crawl/stats.go:59-63)
+        revisit_col = (
+            F.col("revisit") if "revisit" in sink_src.columns else F.lit(False)
         )
-        new_agg = new.groupBy("host").agg(
-            F.count(F.lit(1)).alias("new_after_dedup")
-        ).select(
-            "host", zero.alias("scheduled"), zero.alias("fetched_ok"),
-            zero.alias("fetched_err"), zero.alias("redirects"),
-            zero.alias("retries"), zero.alias("discovered"), "new_after_dedup",
+        psize = F.coalesce(F.col("payload_size"), F.lit(0))
+        sink_agg = _pad(
+            sink_src.groupBy("host").agg(
+                F.sum(F.when(~revisit_col, psize).otherwise(F.lit(0)))
+                .alias("payload_bytes"),
+                F.sum(F.when(revisit_col, psize).otherwise(F.lit(0)))
+                .alias("deduped_bytes"),
+            ),
+            "payload_bytes", "deduped_bytes",
+        )
+        cand_agg = _pad(
+            cand.groupBy("host").agg(F.count(F.lit(1)).alias("discovered")),
+            "discovered",
+        )
+        new_agg = _pad(
+            new.groupBy("host").agg(
+                F.count(F.lit(1)).alias("new_after_dedup")
+            ),
+            "new_after_dedup",
         )
         metric_rows = (
-            res_agg.unionByName(cand_agg).unionByName(new_agg)
+            res_agg.unionByName(sink_agg)
+            .unionByName(cand_agg).unionByName(new_agg)
             .groupBy("host")
             .agg(*[F.sum(k).alias(k) for k in kinds])
             .select(

@@ -195,6 +195,12 @@ METRICS = T.StructType(
         T.StructField("retries", T.LongType(), False),
         T.StructField("discovered", T.LongType(), False),
         T.StructField("new_after_dedup", T.LongType(), False),
+        # byte lineage (crawl/stats.go:59-63: warc.DataTotal /
+        # LocalDedupeTotal): octets sunk this round vs octets the D8
+        # revisit marking saved — measured from the narrow
+        # payload_size column, never by re-scanning binary payloads
+        T.StructField("payload_bytes", T.LongType(), False),
+        T.StructField("deduped_bytes", T.LongType(), False),
     ]
 )
 
