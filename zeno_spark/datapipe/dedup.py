@@ -178,12 +178,18 @@ def _verify_pairs_fanout(
     |cand| x n_set skinny rows, but shares the posting exchanges with
     a posting-derived candidate plan (prefix filter) — see
     `_verify_pairs_arrays` for the measured trade."""
+    from zeno_spark.datapipe.partitioning import spread_for_join
+
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_set"))
     pa = posting.select(F.col("doc_id").alias("doc_a"), "token")
     pb = posting.select(F.col("doc_id").alias("doc_b"), "token")
+    # spread both fan-out joins: the first's OUTPUT is |cand| x n_set
+    # rows from a small candidate input — the same AQE-coalesce blind
+    # spot as the pair-generation joins (partitioning.py)
     inter = (
-        cand.join(pa, "doc_a")
-        .join(pb, ["doc_b", "token"])
+        spread_for_join(cand, "doc_a")
+        .join(spread_for_join(pa, "doc_a"), "doc_a")
+        .join(spread_for_join(pb, "doc_b", "token"), ["doc_b", "token"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -259,11 +265,36 @@ def jaccard_pairs(
             )
         )
     )
-    a = prefix.select(
-        F.col("doc_id").alias("doc_a"), "token", F.col("n_set").alias("na")
+    # spread_for_join: the prefix posting is small but its self-join
+    # output is the quadratic term — keep AQE from coalescing the
+    # exchange into a single pair-producing task (partitioning.py;
+    # measured at sf0.1: 79s -> 17s for the whole operator)
+    from zeno_spark.datapipe.partitioning import spread_for_join
+
+    a = spread_for_join(
+        prefix.select(
+            F.col("doc_id").alias("doc_a"), "token",
+            F.col("n_set").alias("na"), F.col("__pos").alias("pa"),
+        ),
+        "token",
     )
-    b = prefix.select(
-        F.col("doc_id").alias("doc_b"), "token", F.col("n_set").alias("nb")
+    b = spread_for_join(
+        prefix.select(
+            F.col("doc_id").alias("doc_b"), "token",
+            F.col("n_set").alias("nb"), F.col("__pos").alias("pb"),
+        ),
+        "token",
+    )
+    # PPJoin POSITIONAL filter (Xiao et al. WWW'08 §3.2), on top of the
+    # length filter: J >= t forces |x ∩ y| >= ceil(t/(1+t) * (na+nb)),
+    # while a match at (1-based) prefix positions (pa, pb) bounds the
+    # overlap by 1 + min(na-pa, nb-pb) — matches too deep in either
+    # prefix can't reach the required overlap and never become
+    # candidates.  Integer form: (1 + min(na-pa, nb-pb)) * (t_num +
+    # t_den) >= t_num * (na + nb).  Still a SUPERSET of the true pairs
+    # by theorem; the exact verify below is unchanged.
+    ubound = F.lit(1) + F.least(
+        F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")
     )
     cand = (
         a.join(b, "token")
@@ -271,6 +302,10 @@ def jaccard_pairs(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.lit(t_den) * F.col("na") >= F.lit(t_num) * F.col("nb"))
             & (F.lit(t_den) * F.col("nb") >= F.lit(t_num) * F.col("na"))
+            & (
+                ubound * F.lit(t_num + t_den)
+                >= F.lit(t_num) * (F.col("na") + F.col("nb"))
+            )
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -368,8 +403,11 @@ def minhash_lsh_pairs(
             for b in range(LSH_BANDS)
         ]
     )
-    banded = sigs.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    from zeno_spark.datapipe.partitioning import spread_for_join
+
+    banded = spread_for_join(
+        sigs.select("doc_id", F.posexplode(band_keys).alias("band", "key")),
+        "band", "key",
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -481,9 +519,15 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ).alias("block", "bkey"),
     )
+    from zeno_spark.datapipe.partitioning import spread_for_join
+
+    blocks = spread_for_join(blocks, "block", "bkey")
     a = blocks.alias("a")
     b = blocks.alias("b")
-    cand = (
+    # exact hamming verify runs INSIDE the join stage, BEFORE the
+    # distinct: the de-dup shuffle then carries only true pairs (a pair
+    # colliding in k blocks appears k times), not the candidate volume
+    return (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
@@ -495,9 +539,9 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
 
 
 def simhash_pairs_sql(table: str = "documents") -> str:

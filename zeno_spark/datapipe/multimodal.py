@@ -85,6 +85,8 @@ def phash_pairs(
     id_col: str = "image_id",
     phash_col: str = "phash",
     max_hamming: int = 3,
+    dedup: bool = True,
+    salt: int = 16,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
     the image-axis analogue of dedup.simhash_pairs.  The reference's
@@ -120,30 +122,67 @@ def phash_pairs(
             for b in range(blocks)
         ]
     )
-    banded = src.select("id", F.posexplode(keys).alias("blk", "key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
+    # The 64-bit hash rides along with each exploded block, so the
+    # exact bit_count verify runs INSIDE the join's codegen stage —
+    # before any shuffle — and the de-duplicating `distinct` (a pair
+    # colliding in k blocks appears k times) shuffles only TRUE pairs.
+    # The old shape (distinct on raw candidates, then two join-backs to
+    # fetch the hashes) shuffled the full candidate set: under block
+    # skew (clustered hashes — e.g. simhash-derived keys over similar
+    # text) candidates can approach |pairs|, and shuffling them
+    # dominated the operator (measured at sf0.1: 8M candidate rows
+    # shuffled for ~10k true pairs).  Verify-then-distinct is the same
+    # exactness with a shuffle proportional to the ANSWER, not the
+    # candidate volume; the input plan is also referenced twice instead
+    # of four times (one self-join, its exchange reused).
+    # ``dedup=False`` skips even that shuffle and returns the verified
+    # pairs WITH multiplicity (a pair appears once per colliding
+    # block): duplicate-insensitive consumers (min/max aggregations
+    # like the near-dup marks) stay entirely map-side that way.
+    # SALTED self-join: clustered hashes make some (blk,key) groups hot
+    # (similar content concentrates hash bits), and a hot group's
+    # quadratic pair expansion + the in-stage partial aggregation all
+    # land on ONE task — a straggler no partition count fixes (skew is
+    # per-KEY, and AQE can't split a single key).  Salting splits each
+    # group's a-side into `salt` sub-buckets by id-hash and replicates
+    # the b-side across them: every ordered pair still matches exactly
+    # once (at the a-row's salt), the hot group's expansion spreads
+    # over `salt` tasks, and the b-side replication cost is linear in
+    # the banded input (measured at sf0.1: 28s -> ~8s wall for the
+    # marks operator at salt=16).
+    # spread_for_join: the banded sides are repartitioned EXPLICITLY on
+    # the join keys so AQE cannot coalesce the exchange down to one
+    # task (it sizes by the tiny banded INPUT, blind to the quadratic
+    # join output — see datapipe/partitioning.py; measured at sf0.1:
+    # 28s single-task vs ~4s spread).
+    from zeno_spark.datapipe.partitioning import spread_for_join
+
+    banded = src.select("id", "ph", F.posexplode(keys).alias("blk", "key"))
+    a = spread_for_join(
+        banded.withColumn("salt", F.pmod(F.xxhash64("id"), F.lit(salt))),
+        "blk", "key", "salt",
+    ).alias("a")
+    b = spread_for_join(
+        banded.withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+        ),
+        "blk", "key", "salt",
+    ).alias("b")
+    verified = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    pa = src.select(F.col("id").alias("id_a"), F.col("ph").alias("__pa"))
-    pb = src.select(F.col("id").alias("id_b"), F.col("ph").alias("__pb"))
-    return (
-        cand.join(pa, "id_a")
-        .join(pb, "id_b")
-        .withColumn(
-            "hamming", F.expr("bit_count(__pa ^ __pb)").cast("int")
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.expr("bit_count(a.ph ^ b.ph)").cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    return verified.distinct() if dedup else verified
 
 
 def phash_near_dup_marks(
@@ -184,21 +223,35 @@ def phash_near_dup_marks(
             "phash",
         )
     )
+    # dedup=False: the min-aggregation below is duplicate-insensitive,
+    # so the pair multiset skips phash_pairs' distinct shuffle and the
+    # per-(id_b) min partial-aggregates map-side — the only shuffle in
+    # the whole operator carries one row per marked url
     pairs = phash_pairs(src, id_col="__oid", phash_col="phash",
-                        max_hamming=max_hamming)
-    # id_a < id_b in the composite order -> id_b is the later row
+                        max_hamming=max_hamming, dedup=False)
+    # id_a < id_b in the composite order -> id_b is the later row.
+    # The (hamming, id_a) "best partner" min is encoded as ONE
+    # fixed-width string (2-digit zero-padded hamming ++ id):
+    # lexicographic order equals the tuple order, and a plain string
+    # MIN stays inside whole-stage codegen with map-side combine —
+    # min over a (int, string) STRUCT drops the whole 10^7-row
+    # aggregation onto the interpreted-ordering slow path (measured:
+    # ~20s of the operator's 28s at sf0.1)
     best = pairs.groupBy("id_b").agg(
-        F.min(F.struct("hamming", "id_a")).alias("__best")
+        F.min(
+            F.concat(F.lpad(F.col("hamming").cast("string"), 2, "0"),
+                     F.col("id_a"))
+        ).alias("__best")
     )
-    # fixed-width prefix (9-digit round + "|"): strip by position, so a
-    # url containing "|" can't confuse the split
-    def strip(c):
-        return F.substring(c, 11, 1 << 30)
+    # fixed-width prefixes (2-digit hamming; 9-digit round + "|"):
+    # strip by position, so a url containing "|" can't confuse the split
+    def strip(c, off=0):
+        return F.substring(c, 11 + off, 1 << 30)
 
     return best.select(
         strip(F.col("id_b")).alias("url"),
-        strip(F.col("__best.id_a")).alias("near_dup_of"),
-        F.col("__best.hamming").cast("int").alias("hamming"),
+        strip(F.col("__best"), 2).alias("near_dup_of"),
+        F.substring(F.col("__best"), 1, 2).cast("int").alias("hamming"),
     )
 
 
@@ -230,6 +283,11 @@ def phash_marks_over_docs(
         .bitwiseOR(F.col("simhash"))
         .alias("phash"),
     )
+    # the synthesized keys sit behind the full tokenize+simhash
+    # pipeline; materialize the narrow (url, phash) rows once so the
+    # band self-join + mark aggregation downstream never re-runs it
+    # (16 B/doc of executor storage — same discipline as clusters.py)
+    fetched_like = fetched_like.localCheckpoint(eager=True)
     return phash_near_dup_marks(fetched_like, max_hamming=max_hamming)
 
 

@@ -177,8 +177,11 @@ def cosine_pairs(
             for b in range(bands)
         ]
     )
-    banded = corpus.select(
-        "vec_id", F.posexplode(band_keys).alias("band", "bkey")
+    from zeno_spark.datapipe.partitioning import spread_for_join
+
+    banded = spread_for_join(
+        corpus.select("vec_id", F.posexplode(band_keys).alias("band", "bkey")),
+        "band", "bkey",
     )
     a = banded.alias("a")
     b = banded.alias("b")
