@@ -54,6 +54,11 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=8)
     ap.add_argument("--bloom", action="store_true", default=True)
     ap.add_argument("--no-bloom", dest="bloom", action="store_false")
+    ap.add_argument("--adaptive-politeness", action="store_true",
+                    help="AIMD per-host budget feedback: hosts serving "
+                         "429s/conn-failures get halved quotas next "
+                         "round, clean hosts regrow additively "
+                         "(streaming/politeness.py control law)")
     ap.add_argument("--strategy", choices=("fifo", "lifo"), default="fifo",
                     help="within-host dequeue order (the reference's "
                          "--hq-strategy, cmd/get_hq.go:55)")
@@ -154,6 +159,7 @@ def main() -> None:
         live_robots=args.live_robots,
         max_rounds=args.rounds,
         schedule_strategy=args.strategy,
+        adaptive_politeness=args.adaptive_politeness,
     )
     transport = None
     if args.live:

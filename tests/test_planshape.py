@@ -192,3 +192,26 @@ def test_bucketed_seen_join_shape_in_crawl(spark, tmp_path):
     right = "\n".join(lines[right_at:])
     assert "FileScan parquet" in right
     assert "Exchange" not in right
+
+
+def test_candidate_joins_declare_explicit_parallelism(docs, embs):
+    """AQE-coalesce guard (datapipe/partitioning.py): every candidate
+    self-join's banded sides carry a user-specified RepartitionByExpression
+    on the join keys, exempting the exchange from AQE's partition
+    coalescing (AQE sizes by the tiny banded INPUT and cannot see the
+    quadratic candidate OUTPUT — without the spread, pair generation
+    collapses to a single-task straggler)."""
+    from zeno_spark.datapipe import multimodal as mm
+
+    def logical(df) -> str:
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    pair_plans = {
+        "simhash": logical(dd.simhash_pairs(docs)),
+        "jaccard": logical(dd.jaccard_pairs(docs)),
+        "minhash_lsh": logical(dd.minhash_lsh_pairs(docs)),
+        "cosine": logical(sim.cosine_pairs(embs)),
+        "phash": logical(mm.phash_marks_over_docs(docs)),
+    }
+    for name, plan in pair_plans.items():
+        assert "RepartitionByExpression" in plan, name

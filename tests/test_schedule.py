@@ -185,3 +185,34 @@ def test_priority_tier_pops_before_fifo(spark):
         f, CrawlConfig(per_host_budget=3, host_salt_buckets=4)
     ).collect()
     assert {r.url for r in salted} == {r.url for r in sched}
+
+
+def test_per_host_budget_overrides(spark):
+    """Adaptive-politeness feedback: a (host, budget) override frame
+    reshapes the per-host quota — below OR above the base budget —
+    while non-overridden hosts keep the base; exactness holds through
+    the salted two-phase window."""
+    items = []
+    seq = 0
+    for i in range(6):
+        for h in ("a.com", "b.com", "c.com"):
+            items.append(_item(f"http://{h}/p/{i}", h, seq))
+            seq += 1
+    f = _frontier(spark, items)
+    cfg = CrawlConfig(per_host_budget=3, host_salt_buckets=4)
+    budgets = spark.createDataFrame(
+        [("a.com", 1), ("b.com", 5)], "host string, budget int"
+    )
+    out = politeness_schedule(f, cfg, budgets=budgets)
+    counts = {r.host: r.n for r in
+              out.groupBy("host").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"a.com": 1, "b.com": 5, "c.com": 3}
+    # FIFO within host is preserved under the override
+    got_a = sorted(r.url for r in out.filter(F.col("host") == "a.com").collect())
+    assert got_a == ["http://a.com/p/0"]
+    # identical result without salting (the exactness invariant)
+    flat = politeness_schedule(
+        f, CrawlConfig(per_host_budget=3, host_salt_buckets=1),
+        budgets=budgets,
+    )
+    assert {r.id for r in out.collect()} == {r.id for r in flat.collect()}

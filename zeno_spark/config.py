@@ -49,6 +49,17 @@ class CrawlConfig:
     respect_crawl_delay: bool = True           # map robots Crawl-delay to a shrunk
                                                # per-round budget (schedule.py); the
                                                # reference has NO delay enforcement
+    adaptive_politeness: bool = False          # feed the AIMD per-host budget
+                                               # recommendations (streaming/
+                                               # politeness.py control law, replayed
+                                               # over the metrics table) back into
+                                               # the scheduler as per-host budget
+                                               # overrides — hosts serving 429s /
+                                               # conn-failures get halved quotas
+                                               # next round, clean hosts regrow
+                                               # additively (TCP congestion rule)
+    adaptive_min_budget: int = 1
+    adaptive_max_budget: int = 256
     round_seconds: float = 60.0                # wall-clock a round models for the
                                                # Crawl-delay -> budget mapping (same
                                                # logical clock as streaming/live.py)

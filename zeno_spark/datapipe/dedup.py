@@ -154,8 +154,11 @@ def _verify_pairs_arrays(
         F.col("toks").alias("__tb"),
         F.col("n_set").alias("nb"),
     )
+    from zeno_spark.datapipe.partitioning import spread_for_join
+
     return (
-        cand.join(ta, "doc_a")
+        spread_for_join(cand, "doc_a")
+        .join(spread_for_join(ta, "doc_a"), "doc_a")
         .join(tb, "doc_b")
         .withColumn(
             "n_inter",

@@ -43,7 +43,10 @@ def schedulable(frontier: DataFrame, round_no: int) -> DataFrame:
 
 
 def politeness_schedule(
-    frontier: DataFrame, cfg: CrawlConfig, delays: DataFrame | None = None
+    frontier: DataFrame,
+    cfg: CrawlConfig,
+    delays: DataFrame | None = None,
+    budgets: DataFrame | None = None,
 ) -> DataFrame:
     """Pick this round's fetch set: per-host FIFO top-`per_host_budget`.
 
@@ -55,7 +58,17 @@ def politeness_schedule(
     fetches per round.  The reference has no delay enforcement at all
     (SURVEY §2.10); this is the F10-adjacent politeness tier the robots
     column exists for.  Broadcast join — the delay side is one row per
-    host with a delay."""
+    host with a delay.
+
+    ``budgets`` (optional) is a tiny (host, budget) frame of PER-HOST
+    budget overrides — the AIMD adaptive-politeness recommendations
+    (streaming/politeness.py) fed back into the scheduler: hosts that
+    served 429s/conn-failures get a halved quota next round, clean
+    hosts grow back additively.  Overrides may exceed the base budget,
+    so the salt-phase bound is the per-row effective budget (keeping
+    phase 1 a superset per host, which is what keeps the salted plan
+    exact).  A delay shrink applies ON TOP of the override (robots
+    always wins).  Broadcast join — one row per recommended host."""
     budget = cfg.per_host_budget
     # within-host order: FIFO (the local queue, index/index.go:82-90) or
     # LIFO (the HQ feed's default strategy, cmd/get_hq.go:55 /
@@ -72,18 +85,32 @@ def politeness_schedule(
     # order, then the hash tiebreak for full determinism
     order = [F.col("priority").desc(), seq, F.col("url_hash").asc()]
     df = frontier
+    if budgets is not None:
+        ov = F.broadcast(
+            budgets.select(
+                F.col("host").alias("__b_host"),
+                F.col("budget").alias("__b_budget"),
+            )
+        )
+        df = df.join(ov, df["host"] == F.col("__b_host"), "left")
+    eff_budget = (
+        F.coalesce(F.col("__b_budget"), F.lit(budget))
+        if budgets is not None
+        else F.lit(budget)
+    )
     if cfg.host_salt_buckets > 1:
         # phase 1 — salted local top-k (kills the hot-host single-task
-        # window).  Uses the FULL budget: a delay only shrinks a host's
-        # final quota, so phase 1's survivors stay a superset.
+        # window).  Uses the full EFFECTIVE budget: a delay only
+        # shrinks a host's final quota, so phase 1's survivors stay a
+        # superset.
         salt = F.pmod(F.col("url_hash"), F.lit(cfg.host_salt_buckets))
         w1 = Window.partitionBy("host", salt).orderBy(*order)
         df = (
             df.withColumn("__r1", F.row_number().over(w1))
-            .filter(F.col("__r1") <= budget)
+            .filter(F.col("__r1") <= eff_budget)
             .drop("__r1")
         )
-    budget_col = F.lit(budget)
+    budget_col = eff_budget
     if delays is not None:
         d = F.broadcast(
             delays.filter(F.col("crawl_delay").isNotNull())
@@ -96,13 +123,13 @@ def politeness_schedule(
         budget_col = F.when(
             F.col("__delay").isNotNull() & (F.col("__delay") > 0),
             F.least(
-                F.lit(budget),
+                eff_budget,
                 F.greatest(
                     F.lit(1),
                     F.floor(F.lit(float(cfg.round_seconds)) / F.col("__delay")),
                 ),
             ),
-        ).otherwise(F.lit(budget))
+        ).otherwise(eff_budget)
     # phase 2 — exact per-host FIFO rank (O2+O3+O4)
     w2 = Window.partitionBy("host").orderBy(*order)
     out = (
@@ -112,6 +139,8 @@ def politeness_schedule(
     )
     if delays is not None:
         out = out.drop("__d_host", "__delay")
+    if budgets is not None:
+        out = out.drop("__b_host", "__b_budget")
     return out
 
 

@@ -311,6 +311,29 @@ class CrawlJob:
             claims, _claim_key() == F.col("_ck"), "left_anti"
         )
 
+    def _adaptive_budgets(self) -> DataFrame | None:
+        """Adaptive-politeness feedback (cfg.adaptive_politeness): the
+        AIMD control law (streaming/politeness.py) replayed over the
+        committed metrics lineage; each host's LATEST recommendation
+        becomes its per-round budget override in the politeness window.
+        The streaming operator and this batch replay are the same
+        function — the stream is the monitoring surface, this is the
+        in-loop consumer.  Cost: the metrics table is (rounds x hosts)
+        narrow counters and the result broadcasts."""
+        if not self.cfg.adaptive_politeness:
+            return None
+        from zeno_spark.streaming.politeness import replay_budgets
+
+        recs = replay_budgets(
+            self.metrics.read(),
+            base=self.cfg.per_host_budget,
+            min_budget=self.cfg.adaptive_min_budget,
+            max_budget=self.cfg.adaptive_max_budget,
+        )
+        return recs.groupBy("host").agg(
+            F.max_by("budget", "round").alias("budget")
+        )
+
     # ------------------------------------------------------------------
     # D9 incremental bloom maintenance
     # ------------------------------------------------------------------
@@ -375,7 +398,9 @@ class CrawlJob:
             and robots_cache is not None
             else None
         )
-        sched = politeness_schedule(gated, cfg, delays=delays).cache()
+        sched = politeness_schedule(
+            gated, cfg, delays=delays, budgets=self._adaptive_budgets()
+        ).cache()
 
         # NARROW fetch result (no payload bytes) — the ONLY cacheable
         # round intermediate.  Payload bytes never enter a cache (the
