@@ -151,3 +151,31 @@ def test_adaptive_crawl_respects_recommendations(spark, tmp_path):
     # the corpus serves 429s, so the control law must have bitten at
     # least once (otherwise this test is vacuous)
     assert cut_below_base > 0
+    # the incrementally-folded state table (native fold_budgets_step,
+    # one transition per committed round) must equal the full-history
+    # Python replay — three forms of the control law, one answer
+    state = {
+        r.host: (r.budget, r.ewma_err, r.last_round)
+        for r in job.budgets_tbl.read().collect()
+    }
+    replay = {
+        r.host: (r.budget, r.ewma_err, r.round)
+        for r in politeness.replay_budgets(
+            job.metrics.read(), base=cfg.per_host_budget,
+            min_budget=cfg.adaptive_min_budget,
+            max_budget=cfg.adaptive_max_budget,
+        )
+        .groupBy("host")
+        .agg(
+            F.max_by("budget", "round").alias("budget"),
+            F.max_by("ewma_err", "round").alias("ewma_err"),
+            F.max("round").alias("round"),
+        )
+        .collect()
+    }
+    assert state.keys() == replay.keys()
+    for h in state:
+        sb, se, sr = state[h]
+        rb, re_, rr = replay[h]
+        assert (sb, sr) == (rb, rr), h
+        assert se == pytest.approx(re_, rel=1e-12), h

@@ -181,6 +181,11 @@ class CrawlJob:
         # write_metadata_records; committed under the same round marker
         self.metadata = self.catalog.table("metadata", schemas.METADATA)
         self.bloom = self.catalog.table("bloom", schemas.BLOOM)
+        # adaptive-politeness state: one AIMD recommendation per host,
+        # folded incrementally per round (streaming/politeness.py
+        # fold_budgets_step) — acceleration state like BLOOM, derivable
+        # from the metrics lineage and rollback-consistent
+        self.budgets_tbl = self.catalog.table("budgets", schemas.BUDGETS)
         # live-robots cache as a CATALOG TABLE (not a driver-held union
         # chain): appended per round under the round marker, so lineage
         # depth stays constant, rollback keeps it consistent with the
@@ -312,27 +317,35 @@ class CrawlJob:
         )
 
     def _adaptive_budgets(self) -> DataFrame | None:
-        """Adaptive-politeness feedback (cfg.adaptive_politeness): the
-        AIMD control law (streaming/politeness.py) replayed over the
-        committed metrics lineage; each host's LATEST recommendation
-        becomes its per-round budget override in the politeness window.
-        The streaming operator and this batch replay are the same
-        function — the stream is the monitoring surface, this is the
-        in-loop consumer.  Cost: the metrics table is (rounds x hosts)
-        narrow counters and the result broadcasts."""
+        """Adaptive-politeness feedback (cfg.adaptive_politeness): each
+        host's LATEST AIMD recommendation becomes its per-round budget
+        override in the politeness window.  The state table is folded
+        incrementally per committed round (`_update_budgets`) — reading
+        it here is O(hosts), never O(rounds x hosts); equality with the
+        full-history replay (streaming/politeness.py replay_budgets) is
+        test-pinned."""
         if not self.cfg.adaptive_politeness:
             return None
-        from zeno_spark.streaming.politeness import replay_budgets
+        return self.budgets_tbl.read().select("host", "budget")
 
-        recs = replay_budgets(
-            self.metrics.read(),
+    def _update_budgets(self, metric_rows: DataFrame, round_no: int) -> None:
+        """Fold this round's per-host metrics into the budget state —
+        one native AIMD transition (politeness.fold_budgets_step), the
+        same incremental-maintenance discipline as `_update_bloom`.
+        Inside the round's commit scope: a crash before the marker
+        rolls the state back with everything else, and the fold is
+        idempotent on re-run (rounds <= last_round leave state
+        unchanged)."""
+        from zeno_spark.streaming.politeness import fold_budgets_step
+
+        new_state = fold_budgets_step(
+            self.budgets_tbl.read(),
+            metric_rows,
             base=self.cfg.per_host_budget,
             min_budget=self.cfg.adaptive_min_budget,
             max_budget=self.cfg.adaptive_max_budget,
         )
-        return recs.groupBy("host").agg(
-            F.max_by("budget", "round").alias("budget")
-        )
+        self.budgets_tbl.rewrite(new_state)
 
     # ------------------------------------------------------------------
     # D9 incremental bloom maintenance
@@ -579,6 +592,12 @@ class CrawlJob:
                 # consistency); independent of the sibling appends, so
                 # its latency hides behind them here
                 futs.append(pool.submit(self._update_bloom, new))
+            if cfg.adaptive_politeness:
+                # incremental AIMD fold (reads only the cached
+                # metric_rows + the state table); same commit scope
+                futs.append(
+                    pool.submit(self._update_budgets, metric_rows, round_no)
+                )
             for f in futs:
                 f.result()
         # round totals from the (cached) per-host lineage — one small agg

@@ -204,5 +204,20 @@ METRICS = T.StructType(
     ]
 )
 
+# budgets — adaptive-politeness state (streaming/politeness.py control
+# law, folded incrementally per round by the crawl driver): one row per
+# host ever observed, the recommendation the NEXT round's politeness
+# window grants it.  Derivable from the metrics lineage (replay_budgets),
+# so the table is pure acceleration state like BLOOM — rollback restores
+# it with the round marker and a re-run refolds deterministically.
+BUDGETS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("budget", T.IntegerType(), False),
+        T.StructField("ewma_err", T.DoubleType(), False),
+        T.StructField("last_round", T.IntegerType(), False),
+    ]
+)
+
 # seeds — URL-per-line seed list (queue/item.go:53-102)
 SEEDS = T.StructType([T.StructField("url", T.StringType(), False)])

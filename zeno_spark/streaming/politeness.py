@@ -172,3 +172,61 @@ def replay_budgets(
         .groupBy("host")
         .applyInPandas(once, schema=BUDGET_SCHEMA)
     )
+
+
+def fold_budgets_step(
+    state: DataFrame,
+    round_metrics: DataFrame,
+    base: int = DEFAULT_BUDGET,
+    min_budget: int = 1,
+    max_budget: int = 256,
+) -> DataFrame:
+    """ONE native AIMD transition — the in-crawl-loop form of the same
+    control law: fold a single round's per-host metrics into the
+    persisted budget state (schemas.BUDGETS) entirely in native
+    expressions (no Python worker on the crawl's hot path).
+
+    The streaming operator and the batch replay recompute history; a
+    10k-round crawl calling the replay per round pays O(rounds^2)
+    cumulative, so the driver instead keeps the state table and folds
+    only the NEW round — the same incremental-maintenance discipline as
+    the bloom tier.  Equality with replay_budgets over the full metrics
+    lineage is the property the tests pin.
+
+    Rounds already folded (round <= last_round — a rolled-back and
+    re-run round, or a replayed commit) leave the state unchanged, so
+    the fold is idempotent."""
+    m = round_metrics.select(
+        F.col("host").alias("__m_host"),
+        F.col("round").alias("__m_round"),
+        "scheduled", "fetched_err", "retries",
+    )
+    j = state.join(m, state["host"] == F.col("__m_host"), "full")
+    budget0 = F.coalesce(F.col("budget"), F.lit(base))
+    ewma0 = F.coalesce(F.col("ewma_err"), F.lit(0.0))
+    last0 = F.coalesce(F.col("last_round"), F.lit(-1))
+    fresh = F.col("__m_round").isNotNull() & (F.col("__m_round") > last0)
+    err_rate = F.when(
+        F.col("scheduled") > 0,
+        (F.col("fetched_err") + F.col("retries"))
+        / F.col("scheduled").cast("double"),
+    ).otherwise(F.lit(0.0))
+    ewma1 = F.lit(1.0 - ALPHA) * ewma0 + F.lit(ALPHA) * err_rate
+    budget1 = (
+        F.when(
+            F.col("retries") > 0,
+            F.greatest(F.lit(min_budget), F.floor(budget0 / 2).cast("int")),
+        )
+        .when(
+            (F.col("fetched_err") == 0) & (ewma1 < F.lit(EWMA_OK)),
+            F.least(F.lit(max_budget), budget0 + F.lit(STEP)),
+        )
+        .otherwise(budget0)
+    )
+    return j.select(
+        F.coalesce(F.col("host"), F.col("__m_host")).alias("host"),
+        F.when(fresh, budget1).otherwise(budget0).cast("int").alias("budget"),
+        F.when(fresh, ewma1).otherwise(ewma0).alias("ewma_err"),
+        F.when(fresh, F.col("__m_round")).otherwise(last0)
+        .cast("int").alias("last_round"),
+    )
