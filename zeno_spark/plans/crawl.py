@@ -323,10 +323,22 @@ class CrawlJob:
         incrementally per committed round (`_update_budgets`) — reading
         it here is O(hosts), never O(rounds x hosts); equality with the
         full-history replay (streaming/politeness.py replay_budgets) is
-        test-pinned."""
+        test-pinned.
+
+        Only rows BELOW the base budget are returned: the configured
+        per-host budget remains the politeness CEILING (AIMD growth
+        above it is recovery headroom in the state, not a license to
+        exceed the operator's bound), and the under-pressure set —
+        hosts with recent 429s/conn-failures — is the small set, so
+        the scheduler's broadcast stays tiny even at 10^8 frontier
+        hosts (broadcasting every host's row would be GBs)."""
         if not self.cfg.adaptive_politeness:
             return None
-        return self.budgets_tbl.read().select("host", "budget")
+        return (
+            self.budgets_tbl.read()
+            .filter(F.col("budget") < F.lit(self.cfg.per_host_budget))
+            .select("host", "budget")
+        )
 
     def _update_budgets(self, metric_rows: DataFrame, round_no: int) -> None:
         """Fold this round's per-host metrics into the budget state —
