@@ -180,6 +180,13 @@ def main() -> None:
             stats = job.run(seeds=seeds, max_rounds=args.rounds)
     else:
         stats = job.run(seeds=seeds, max_rounds=args.rounds)
+    # One observability line before the per-round stats: lets operators
+    # (and the spark-submit e2e test) confirm which master actually ran
+    # the job — the submit flag, not the local-mode fallback.
+    print(json.dumps({
+        "spark_master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+    }))
     for s in stats:
         print(json.dumps(s.__dict__))
     if args.warc_out:

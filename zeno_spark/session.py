@@ -36,9 +36,16 @@ def get_spark(
     # Shuffle parallelism ~ cores locally; on a real cluster this scales to
     # 2-3x total executor cores and AQE coalesces the rest.
     shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = SparkSession.builder
+    # Under spark-submit (PYSPARK_GATEWAY_PORT set: the JVM gateway already
+    # exists with --master/--deploy-mode resolved) the submit flags own the
+    # master and resources — setting .master() here would silently override
+    # `spark-submit --master yarn` back to local mode.  Only force a local
+    # master when this process launched the JVM itself (pytest, bench.py).
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
