@@ -134,12 +134,12 @@ def main() -> None:
         seeds = None
         n_file_lines = 0
         if args.seeds:
-            # native exact line numbering — no RDD zipWithIndex pass
-            from zeno_spark.plans.crawl import seed_lines
+            # native exact line numbering — no RDD zipWithIndex pass,
+            # and the total comes from the same pass-1 split aggregate
+            # (no extra full-file count() just to number argv URLs)
+            from zeno_spark.plans.crawl import seed_lines_with_total
 
-            seeds = seed_lines(spark, args.seeds)
-            if args.urls:
-                n_file_lines = seeds.count()
+            seeds, n_file_lines = seed_lines_with_total(spark, args.seeds)
         if args.urls:
             # S2: argv URLs enqueue after the file block, in argv order
             # (cmd/get_url.go:36-55)

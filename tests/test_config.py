@@ -42,6 +42,33 @@ def test_yaml_subset_rejects_nested_mapping():
         parse_simple_yaml("outer:\n  inner: 1\n")
 
 
+def test_hash_inside_values_is_not_a_comment():
+    got = parse_simple_yaml(
+        'user-agent: "zeno/1.0 (#42; +https://example.com/bot)"\n'
+        "seed: http://x.example/page#frag\n"
+        "budget: 8  # trailing comment still trims\n"
+        "note: 'single #quoted'\n"
+        "bot-name: O'Reilly bot  # apostrophe mid-value is not a quote\n"
+        "hosts:\n"
+        "  - 'a#b.example'  # quoted list item\n"
+        'inline: ["x #y", \'p#q\']  # quoted inline-list items\n'
+    )
+    assert got == {
+        "user_agent": "zeno/1.0 (#42; +https://example.com/bot)",
+        "seed": "http://x.example/page#frag",
+        "budget": 8,
+        "note": "single #quoted",
+        "bot_name": "O'Reilly bot",
+        "hosts": ["a#b.example"],
+        "inline": ["x #y", "p#q"],
+    }
+
+
+def test_unterminated_quote_fails_loudly():
+    with pytest.raises(ValueError, match="unterminated"):
+        parse_simple_yaml('ua: "zeno (\n')
+
+
 def test_precedence_env_over_file_over_default(tmp_path):
     cfg = tmp_path / "zeno-config.yaml"
     cfg.write_text("rounds: 6\nstrategy: lifo\nbloom: false\n")

@@ -196,6 +196,48 @@ def test_resume_from_checkpoint(spark, small_corpus, small_oracle, tmp_path):
     assert fetched == set(small_oracle.fetched)
 
 
+def test_budgets_state_rolls_back_with_the_round(spark, small_corpus, tmp_path):
+    """The AIMD budget state is round-marker scoped like every other
+    table: a budget rewrite that lands AFTER the last committed marker
+    (a crash between _update_budgets and _commit_round) is rolled back
+    by recover(), so the re-run round folds from the pre-crash state
+    and cannot diverge from the replay oracle."""
+    from zeno_spark import schemas
+    from zeno_spark.config import CrawlConfig
+
+    cfg = CrawlConfig(
+        max_hops=2, per_host_budget=8, max_rounds=4,
+        adaptive_politeness=True,
+    )
+    wh = tmp_path / "wh_bud"
+    job = CrawlJob(
+        spark, str(wh), small_corpus["dfs"]["pages"],
+        small_corpus["dfs"]["links"], cfg,
+    )
+    job.seed(small_corpus["dfs"]["seeds"])
+    job.run_round(0)
+    job.run_round(1)
+    committed = {
+        (r.host, r.budget, r.last_round)
+        for r in job.budgets_tbl.read().collect()
+    }
+    # crash after round 2's budget fold committed but before its marker
+    job.budgets_tbl.rewrite(
+        spark.createDataFrame(
+            [("crashed.example", 1, 1.0, 2)], schemas.BUDGETS
+        )
+    )
+    job2 = CrawlJob(
+        spark, str(wh), small_corpus["dfs"]["pages"],
+        small_corpus["dfs"]["links"], cfg,
+    )
+    assert job2.recover() == 2
+    assert {
+        (r.host, r.budget, r.last_round)
+        for r in job2.budgets_tbl.read().collect()
+    } == committed
+
+
 def test_bloom_and_salt_change_nothing(spark, small_corpus, small_oracle, tmp_path):
     cfg = CrawlConfig(
         max_hops=2, per_host_budget=8, max_rounds=12, compact_every=3,
@@ -470,7 +512,7 @@ def test_seed_lines_native_exact(spark, tmp_path):
     import inspect
 
     from zeno_spark.plans import crawl as crawl_mod
-    from zeno_spark.plans.crawl import seed_lines
+    from zeno_spark.plans.crawl import seed_lines, seed_lines_with_total
 
     path = str(tmp_path / "seeds.txt")
     with open(path, "w") as fh:
@@ -479,7 +521,8 @@ def test_seed_lines_native_exact(spark, tmp_path):
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
-        got = {r.line: r.url for r in seed_lines(spark, path).collect()}
+        df, total = seed_lines_with_total(spark, path)
+        got = {r.line: r.url for r in df.collect()}
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     want = dict(
@@ -488,6 +531,8 @@ def test_seed_lines_native_exact(spark, tmp_path):
     )
     assert got == want
     assert len(got) == 4000
+    # the total comes from the pass-1 aggregate, not a second count()
+    assert total == 4000
     # the production seed path must stay RDD-free
     assert ".rdd" not in inspect.getsource(crawl_mod.CrawlJob.seed)
     assert ".rdd" not in inspect.getsource(seed_lines)

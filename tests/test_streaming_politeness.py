@@ -17,10 +17,16 @@ from zeno_spark.streaming import politeness
 from zeno_spark.streaming.live import metrics_readstream, run_available_now
 
 
-def _m(rnd, host, scheduled, ok, err, retries):
+def _m(rnd, host, scheduled, ok, err, retries, redirects=0):
     # (round, host, scheduled, fetched_ok, fetched_err, redirects,
     #  retries, discovered, new_after_dedup, payload_bytes, deduped_bytes)
-    return (rnd, host, scheduled, ok, err, 0, retries, 0, 0, 0, 0)
+    # Real metrics semantics: fetched_err counts EVERY non-200 row, so
+    # redirect and retryable rows are inside it; `err` here is the
+    # HARD-error count the controller recovers by subtraction.
+    return (
+        rnd, host, scheduled, ok, err + redirects + retries, redirects,
+        retries, 0, 0, 0, 0,
+    )
 
 
 def _append(spark, table, rows):
@@ -61,6 +67,28 @@ def test_aimd_trajectory(spark, tmp_path, metrics_table):
     assert got[("hot.com", 3)][1] == pytest.approx(
         0.5 * (1 - 0.7 ** 4), rel=1e-9
     )
+
+
+def test_redirects_are_not_errors(spark, tmp_path, metrics_table):
+    """A once-throttled host that serves routine 3xx redirects (e.g.
+    http->https 301s) alongside its 200s must still regain budget:
+    redirects live inside fetched_err (the stats-parity definition) but
+    are NOT hard errors to the control law.  And an all-429 round keeps
+    err_rate at 1.0, not 2.0 (no double count of retryables)."""
+    rows = [_m(0, "r.com", 16, 8, 0, 8)]          # halved: 16 -> 8
+    for rnd in range(1, 5):                        # healthy + 1 redirect
+        rows.append(_m(rnd, "r.com", 8, 7, 0, 0, redirects=1))
+    rows.append(_m(0, "all429.com", 10, 0, 0, 10))
+    _append(spark, metrics_table, rows)
+    got = {
+        (r.host, r.round): (r.budget, r.ewma_err)
+        for r in _drain(spark, tmp_path)
+    }
+    # additive increase resumes once the EWMA decays below EWMA_OK
+    # (round 0 err_rate = 0.5 -> ewma 0.15; pure decay thereafter:
+    # 0.105 at round 1 (still >= 0.1, hold), 0.0735 at round 2 -> grow)
+    assert [got[("r.com", r)][0] for r in range(5)] == [8, 8, 12, 16, 20]
+    assert got[("all429.com", 0)][1] == pytest.approx(0.3)  # ALPHA*1.0
 
 
 def test_incremental_equals_batch_replay(spark, tmp_path, metrics_table):

@@ -83,6 +83,16 @@ def test_render_layout_pure():
         assert ln[width:width + 2] == "  " and ln[width + 2] != " ", ln
 
 
+def test_render_surfaces_refresh_errors():
+    """The crash-safe contract: a failed tui_snapshot stores an 'error'
+    key, and the renderer must actually show it (stale counters with no
+    indication would silently freeze the display)."""
+    ok = render_live_stats({"crawled": 1})
+    assert "Last refresh error" not in ok
+    bad = render_live_stats({"crawled": 1, "error": "metrics read race"})
+    assert "  - Last refresh error:" in bad and "metrics read race" in bad
+
+
 def test_byte_lineage_and_snapshot(tui_job):
     job = tui_job
     m = job.metrics.read().agg(

@@ -118,6 +118,43 @@ def test_writer_rotation_and_determinism(tmp_path):
     gzip.decompress(open(w1.files[0], "rb").read())
 
 
+def test_dead_attempt_orphans_stay_out_of_the_corpus(spark, tmp_path):
+    """A task attempt that dies mid-file leaves only an .open temp
+    (rename-on-complete commit protocol): read_warc never sees it, and
+    a later write_warc into the same directory sweeps it."""
+    out = tmp_path / "warc_orphan"
+    df = spark.createDataFrame(
+        [("http://h.example/ok", 200, b"good-payload", "cap", 1, False, 0)],
+        "url string, status int, bytes binary, caption string, "
+        "phash long, revisit boolean, round int",
+    )
+    W.write_warc(df, str(out)).collect()
+    # a dead attempt's partial file: truncated gzip under the .open name
+    # (what a kill mid-member leaves behind), plus one mid-write writer
+    good = next(out.glob("*.warc.gz")).read_bytes()
+    orphan = out / "zeno-99999999-00000.warc.gz.open"
+    orphan.write_bytes(good[: len(good) // 2])
+    rows = W.read_warc(spark, str(out)).collect()
+    assert [r.url for r in rows] == ["http://h.example/ok"]
+    # the job commit sweeps the stale orphan on a re-export
+    W.write_warc(df.limit(0), str(out)).collect()
+    assert not list(out.glob("*.open"))
+    # a writer killed before close() publishes NOTHING — including
+    # files it completed before rotation (a retry re-writes them all,
+    # so publishing any would duplicate records in the corpus)
+    w = W.WarcWriter(str(tmp_path / "w2"), "t", 0, rotate_bytes=200)
+    for i in range(8):
+        w.add(W.response_record(f"http://h.example/{i}", 0, 200,
+                                "text/html", b"z" * 120, None))
+    assert len(w.files) > 2  # rotated several times
+    assert not list((tmp_path / "w2").glob("*.warc.gz"))
+    w.close()
+    assert sorted(p.name for p in (tmp_path / "w2").glob("*.warc.gz")) == [
+        f"t-{i:05d}.warc.gz" for i in range(len(w.files))
+    ]
+    assert not list((tmp_path / "w2").glob("*.open"))
+
+
 # ---------------------------------------------------------------------------
 # Spark sink/source roundtrip over a real crawl's fetched table
 # ---------------------------------------------------------------------------

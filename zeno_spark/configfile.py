@@ -36,7 +36,9 @@ def _scalar(raw: str) -> Any:
     s = raw.strip()
     if not s or s.lower() in ("null", "~"):
         return None
-    if (s[0] == s[-1] == '"') or (s[0] == s[-1] == "'"):
+    if s[0] in ('"', "'"):
+        if len(s) < 2 or s[-1] != s[0]:
+            raise ValueError(f"unterminated quoted string: {raw!r}")
         return s[1:-1]
     low = s.lower()
     if low in ("true", "yes", "on"):
@@ -58,13 +60,50 @@ def _norm_key(k: str) -> str:
     return k.strip().replace("-", "_").replace(".", "_")
 
 
+def _strip_comment(raw: str) -> str:
+    """Drop a trailing ``#`` comment, YAML-style: the ``#`` must be
+    outside quotes AND at line start or preceded by whitespace — so
+    ``ua: "zeno (#42)"`` and ``seed: http://x/page#frag`` survive
+    intact while ``budget: 8  # per host`` is trimmed.  A quote opens
+    ONLY as the first character of a value (right after ``:``, a list
+    ``-``, or inside ``[...]`` after ``[``/``,`` — YAML's rule), so an
+    apostrophe inside an unquoted scalar (``note: O'Reilly bot  # x``)
+    is plain text, not a quote."""
+    quote = None
+    at_value_start = False
+    in_list = False
+    for i, ch in enumerate(raw):
+        if quote:
+            if ch == quote:
+                quote = None
+            continue
+        if ch == "#" and (i == 0 or raw[i - 1] in (" ", "\t")):
+            return raw[:i]
+        if at_value_start:
+            if ch in (" ", "\t"):
+                continue
+            at_value_start = False
+            if ch in ("'", '"'):
+                quote = ch
+            elif ch == "[":
+                in_list = True
+                at_value_start = True  # first item may be quoted
+        elif ch == ":" or (ch == "-" and not raw[:i].strip()):
+            at_value_start = True
+        elif in_list and ch == ",":
+            at_value_start = True
+        elif in_list and ch == "]":
+            in_list = False
+    return raw
+
+
 def parse_simple_yaml(text: str) -> dict[str, Any]:
     """Flat-YAML subset parser (module docstring).  Raises ValueError on
     structures outside the subset so a mis-shaped file fails loudly."""
     out: dict[str, Any] = {}
     pending_list: str | None = None
     for lineno, raw in enumerate(text.splitlines(), 1):
-        line = raw.split("#", 1)[0].rstrip()
+        line = _strip_comment(raw).rstrip()
         if not line.strip():
             continue
         if line.lstrip().startswith("- "):

@@ -141,6 +141,10 @@ def render_live_stats(
         ("  - Active Spark jobs:", str(snapshot.get("activeJobs", 0))),
         ("", ""),
     ]
+    if snapshot.get("error"):
+        # a failed refresh must be VISIBLE: the counters above are stale
+        # until a snapshot succeeds again (crash-safe render contract)
+        rows.insert(-1, ("  - Last refresh error:", snapshot["error"]))
     width = max(len(k) for k, _ in rows)
     return "\n".join(
         (f"{k:<{width}}  {v}".rstrip()) for k, v in rows

@@ -244,11 +244,26 @@ def revisit_record(
     return build_record("revisit", h, block)
 
 
+OPEN_SUFFIX = ".open"
+
+
 class WarcWriter:
     """Rotating .warc.gz writer: one gzip member per record (standard
     concatenated-member layout), rotate at ``rotate_bytes`` of
     compressed output (crawl/warc.go:11-26's 1 GB default, scaled down
-    by callers for tests)."""
+    by callers for tests).
+
+    Commit protocol: every file streams into ``<name>.warc.gz.open``
+    and NOTHING is renamed before the writer's lifetime ends — rotation
+    only switches streams, so a task attempt that dies at ANY point
+    (executor OOM, speculative kill, even after several rotations)
+    leaves only ``.open`` orphans, which ``read_warc``'s ``*.warc.gz``
+    glob never matches.  ``publish()`` renames the whole series to its
+    final names; ``close(publish=True)`` (the live-capture default)
+    does it at stream end, while the batch export (``write_warc``)
+    defers it to a driver-side job commit over the winning attempts'
+    manifests, so a retried attempt can never double-publish records
+    that a dead attempt's early files already carried."""
 
     def __init__(self, out_dir: str, prefix: str, round_no: int,
                  rotate_bytes: int = 1 << 30):
@@ -266,14 +281,22 @@ class WarcWriter:
     def _roll(self) -> None:
         if self.fh is not None:
             self.fh.close()
+            self.fh = None
         self.seq += 1
         name = f"{self.prefix}-{self.seq:05d}.warc.gz"
         path = os.path.join(self.out_dir, name)
-        self.fh = open(path, "wb")
+        self.fh = open(path + OPEN_SUFFIX, "wb")
         self.files.append(path)
         self.file_records.append(0)
         self.file_bytes.append(0)
         self._member(warcinfo_record(name, self.round_no))
+
+    def publish(self) -> None:
+        """Rename the completed series to its final ``.warc.gz`` names
+        (idempotent: files already published are left alone)."""
+        for path in self.files:
+            if os.path.exists(path + OPEN_SUFFIX):
+                os.rename(path + OPEN_SUFFIX, path)
 
     def _member(self, record: bytes) -> None:
         # mtime=0 + fixed filename keep the gzip member deterministic
@@ -290,10 +313,12 @@ class WarcWriter:
             self._roll()
         self._member(record)
 
-    def close(self) -> None:
+    def close(self, publish: bool = True) -> None:
         if self.fh is not None:
             self.fh.close()
             self.fh = None
+        if publish:
+            self.publish()
 
 
 # ---------------------------------------------------------------------------
@@ -395,7 +420,11 @@ def _write_batches(out_dir: str, rotate_bytes: int):
                     rec = response_record(
                         url, round_no, status, ct, payload, digest, xh)
                 writer.add(rec)
-        writer.close()
+        # no worker-side publish: the driver's job commit (write_warc)
+        # renames only the WINNING attempts' files — a dead attempt's
+        # whole series, including files completed before it died, stays
+        # .open and is swept
+        writer.close(publish=False)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(writer.files, type=pa.string()),
@@ -412,8 +441,29 @@ def write_warc(
 ) -> DataFrame:
     """Export fetched-table rows to .warc.gz, one file-series per
     partition (distributed, no shuffle: the payload column flows
-    parquet scan -> worker -> gzip stream).  Returns the manifest
-    DataFrame; collecting it is the action that runs the export."""
+    parquet scan -> worker -> gzip stream).  Runs EAGERLY as a
+    two-phase job commit (FileOutputCommitter discipline): workers
+    stream every file under a ``.open`` staging name; the driver then
+    renames exactly the files named by the winning attempts' manifests
+    and sweeps every remaining ``.open`` — so neither a task retry nor
+    speculative execution can publish a loser's records, even files it
+    completed before dying.  Returns the manifest DataFrame (already
+    materialized; collecting it is free).
+
+    ``out_dir`` must be a filesystem the driver and every executor
+    share (NFS / fuse-mounted object store — the same requirement
+    Hadoop's FileOutputCommitter has for its job commit, and which
+    ``read_warc`` needs anyway).  A manifest file whose staging name is
+    missing at commit time raises rather than silently stranding the
+    corpus (the symptom of a non-shared out_dir).  The loser sweep
+    touches only this export's ``zeno-*`` staging files, never another
+    writer's (e.g. a live capture's ``live-*`` series sharing the
+    directory).
+
+    Completed ``.warc.gz`` files from an earlier run into the same
+    directory are NOT touched, so re-running the export into a
+    non-empty directory appends a second copy of the corpus — point
+    the export at a fresh directory per run."""
     types = {f.name: f.dataType.simpleString() for f in WARC_ROWS.fields}
     cols = [
         (F.col(c) if c in fetched.columns
@@ -421,9 +471,29 @@ def write_warc(
         for c in _SINK_COLS
     ]
     narrowed = fetched.select(*cols)
-    return narrowed.mapInArrow(
+    manifest = narrowed.mapInArrow(
         _write_batches(out_dir, rotate_bytes), schema=MANIFEST
-    )
+    ).collect()
+    missing = [
+        r.warc_file for r in manifest
+        if not os.path.exists(r.warc_file + OPEN_SUFFIX)
+        and not os.path.exists(r.warc_file)
+    ]
+    if missing:
+        raise RuntimeError(
+            "write_warc job commit: staged files not visible to the "
+            f"driver (out_dir must be a driver+executor shared "
+            f"filesystem): {missing[:3]}"
+        )
+    for r in manifest:  # job commit: publish winners only
+        if os.path.exists(r.warc_file + OPEN_SUFFIX):
+            os.rename(r.warc_file + OPEN_SUFFIX, r.warc_file)
+    if os.path.isdir(out_dir):  # sweep this export's losers (and prior
+        for fname in os.listdir(out_dir):  # crashed runs of it)
+            if (fname.startswith("zeno-")
+                    and fname.endswith(".warc.gz" + OPEN_SUFFIX)):
+                os.remove(os.path.join(out_dir, fname))
+    return fetched.sparkSession.createDataFrame(manifest, MANIFEST)
 
 
 def _parse_file_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -60,13 +60,24 @@ from zeno_spark.operators.schedule import (
 
 _TABLES = (
     "frontier", "seen", "claimed", "fetched", "metrics", "metadata", "bloom",
-    "robots_tbl",
+    "robots_tbl", "budgets_tbl",
 )
 
 
 def seed_lines(spark: SparkSession, path: str) -> DataFrame:
-    """S1 — URL-per-line seed file -> (url, line) with EXACT line
-    numbers, fully native (no RDD round-trip, no driver-side read).
+    """S1 — see seed_lines_with_total; the DataFrame-only form."""
+    df, _ = seed_lines_with_total(spark, path)
+    return df
+
+
+def seed_lines_with_total(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, int]:
+    """S1 — URL-per-line seed file -> ((url, line), total_lines) with
+    EXACT line numbers, fully native (no RDD round-trip, no driver-side
+    read).  The total falls out of the pass-1 split aggregate for free,
+    so callers that need it (argv URLs numbered after the file block)
+    never pay a second full-file count() pass.
 
     zipWithIndex's algorithm, columnar: pass 1 aggregates one row per
     FILE SPLIT ((path, block_start) -> row count + min
@@ -97,14 +108,15 @@ def seed_lines(spark: SparkSession, path: str) -> DataFrame:
         rows.append((s["__fp"], s["__bs"], off, s["__m0"]))
         off += s["__n"]
     if not rows:
-        return spark.createDataFrame([], "url string, line long")
+        return spark.createDataFrame([], "url string, line long"), 0
     offsets = spark.createDataFrame(
         rows, "__fp string, __bs long, __off long, __m0 long"
     )
-    return raw.join(F.broadcast(offsets), ["__fp", "__bs"]).select(
+    numbered = raw.join(F.broadcast(offsets), ["__fp", "__bs"]).select(
         "url",
         (F.col("__off") + F.col("__mid") - F.col("__m0")).alias("line"),
     )
+    return numbered, off
 
 
 def _claim_key():

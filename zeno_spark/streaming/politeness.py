@@ -24,11 +24,23 @@ that is ~2.4 GB of state spread across executors: fine, and the
 update-mode sink emits one row per (host, round) actually observed.
 
 Control law per observed round, in round order:
-  err_rate = (fetched_err + retries) / scheduled      (0 if idle)
+  hard_err = max(0, fetched_err - redirects - retries)
+  err_rate = (hard_err + retries) / scheduled          (0 if idle)
   ewma     = (1-ALPHA)*ewma + ALPHA*err_rate
-  retries > 0 (429/conn-fail pressure)  -> budget = max(min, budget // 2)
-  else ewma < EWMA_OK and no errors     -> budget = min(max, budget + STEP)
-  else                                  -> hold
+  retries > 0 (429/conn-fail pressure)   -> budget = max(min, budget // 2)
+  else ewma < EWMA_OK and hard_err == 0  -> budget = min(max, budget + STEP)
+  else                                   -> hold
+
+`fetched_err` in the metrics table counts EVERY non-200 row (the
+stats-parity definition), which includes 3xx redirects and the
+retryable 429/conn-fail rows already counted in `retries`.  The
+controller must not treat redirects as errors (an http->https 301 is
+routine — a host that serves any would otherwise never regain budget)
+nor double-count retryables in the rate (an all-429 round would push
+err_rate to 2.0).  Redirects and retries are disjoint subsets of the
+non-200 rows (3xx vs 429/status-0), so the subtraction recovers the
+genuine hard-error count — 4xx/5xx plus retry-exhausted rows — and
+keeps err_rate in [0, 1].
 """
 
 from __future__ import annotations
@@ -88,13 +100,15 @@ def _controller(base: int, min_budget: int, max_budget: int):
         out = []
         for r in rows.itertuples(index=False):
             sched = int(r.scheduled)
-            errs = int(r.fetched_err)
             retries = int(r.retries)
-            err_rate = (errs + retries) / sched if sched > 0 else 0.0
+            hard_err = max(
+                0, int(r.fetched_err) - int(r.redirects) - retries
+            )
+            err_rate = (hard_err + retries) / sched if sched > 0 else 0.0
             ewma = (1.0 - ALPHA) * ewma + ALPHA * err_rate
             if retries > 0:
                 budget = max(min_budget, budget // 2)
-            elif errs == 0 and ewma < EWMA_OK:
+            elif hard_err == 0 and ewma < EWMA_OK:
                 budget = min(max_budget, budget + STEP)
             out.append(
                 {
@@ -126,7 +140,7 @@ def adaptive_budgets(
     output mode must be `update` (state never finalizes — hosts keep
     crawling)."""
     return metrics.select(
-        "host", "round", "scheduled", "fetched_err", "retries"
+        "host", "round", "scheduled", "fetched_err", "redirects", "retries"
     ).groupBy("host").applyInPandasWithState(
         _controller(base, min_budget, max_budget),
         outputStructType=BUDGET_SCHEMA,
@@ -167,7 +181,8 @@ def replay_budgets(
 
     return (
         metrics_batch.select(
-            "host", "round", "scheduled", "fetched_err", "retries"
+            "host", "round", "scheduled", "fetched_err", "redirects",
+            "retries",
         )
         .groupBy("host")
         .applyInPandas(once, schema=BUDGET_SCHEMA)
@@ -199,17 +214,20 @@ def fold_budgets_step(
     m = round_metrics.select(
         F.col("host").alias("__m_host"),
         F.col("round").alias("__m_round"),
-        "scheduled", "fetched_err", "retries",
+        "scheduled", "fetched_err", "redirects", "retries",
     )
     j = state.join(m, state["host"] == F.col("__m_host"), "full")
     budget0 = F.coalesce(F.col("budget"), F.lit(base))
     ewma0 = F.coalesce(F.col("ewma_err"), F.lit(0.0))
     last0 = F.coalesce(F.col("last_round"), F.lit(-1))
     fresh = F.col("__m_round").isNotNull() & (F.col("__m_round") > last0)
+    hard_err = F.greatest(
+        F.lit(0),
+        F.col("fetched_err") - F.col("redirects") - F.col("retries"),
+    )
     err_rate = F.when(
         F.col("scheduled") > 0,
-        (F.col("fetched_err") + F.col("retries"))
-        / F.col("scheduled").cast("double"),
+        (hard_err + F.col("retries")) / F.col("scheduled").cast("double"),
     ).otherwise(F.lit(0.0))
     ewma1 = F.lit(1.0 - ALPHA) * ewma0 + F.lit(ALPHA) * err_rate
     budget1 = (
@@ -218,7 +236,7 @@ def fold_budgets_step(
             F.greatest(F.lit(min_budget), F.floor(budget0 / 2).cast("int")),
         )
         .when(
-            (F.col("fetched_err") == 0) & (ewma1 < F.lit(EWMA_OK)),
+            (hard_err == 0) & (ewma1 < F.lit(EWMA_OK)),
             F.least(F.lit(max_budget), budget0 + F.lit(STEP)),
         )
         .otherwise(budget0)
