@@ -91,6 +91,41 @@ def test_bloom_overflow_tier_is_exact(spark):
     assert plain == cuckooed and len(plain) == 50
 
 
+def test_bloom_bucket_count_mismatch_fails_loudly(spark):
+    """An index probed or merged under a different n_buckets than it was
+    built with routes keys to the wrong bucket's filter — silent false
+    negatives that break exact dedup.  The index records its bucket
+    count and both paths must refuse the mismatch."""
+    import pytest
+
+    cand = _cand(spark, [f"http://h.com/{i}" for i in range(40)])
+    seen = _seen(spark, [f"http://h.com/{i}" for i in range(20)])
+    idx = dedup.build_bloom_index(seen, n_buckets=32)
+    assert all(r.n_buckets == 32 for r in idx.collect())
+    with pytest.raises(Exception, match="n_buckets"):
+        dedup.bloom_prefilter(cand, idx, n_buckets=16).collect()
+    with pytest.raises(Exception, match="n_buckets"):
+        dedup.merge_bloom_index(
+            idx, seen.select("url_hash"), n_buckets=16
+        ).collect()
+
+
+def test_cuckoo_kernels_no_false_negatives():
+    """Direct kernel property: every inserted key queries 'maybe', for
+    inputs that exercise the vectorized bulk pass, the b2 fallback, the
+    kick loop, and the stash (duplicate-heavy + negative hashes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-(2 ** 62), 2 ** 62, size=4000, dtype=np.int64)
+    hashes = np.concatenate([base, base[:500]])  # duplicates force kicks
+    table, stash = dedup.cuckoo_build(hashes, load=0.95)
+    assert dedup.cuckoo_query(table, stash, hashes).all()
+    # empty input stays well-formed
+    t0, s0 = dedup.cuckoo_build(np.array([], dtype=np.int64))
+    assert not dedup.cuckoo_query(t0, s0, hashes[:5]).any()
+
+
 def test_incremental_bloom_merge_no_false_negatives(spark):
     """merge_bloom_index: ORing round deltas into a persisted index must
     keep EVERY seen key 'maybe' (no false negatives), across multiple

@@ -107,6 +107,76 @@ def test_retry_rows(spark):
     assert r.not_before_round == 7  # 5+1 + retry(1)*1
 
 
+def test_long_crawl_delay_gates_across_rounds(spark):
+    """A Crawl-delay LONGER than a round (floor(round_seconds/d)=0)
+    must not be fetched every round at the budget floor of 1: with
+    round_no supplied, the host is admitted once per stride =
+    ceil(d/round_seconds) rounds (host-hashed phase), so consecutive
+    fetch rounds respect the modeled spacing.  Short/no delays and the
+    no-round_no form keep the per-round behavior."""
+    from pyspark.sql import Row
+
+    from zeno_spark import schemas as S
+
+    items = []
+    for h in ("patient.com", "fast.com"):
+        for i in range(40):
+            items.append(_item(f"http://{h}/p/{i}", h, i))
+    f = _frontier(spark, items)
+    delays = spark.createDataFrame(
+        [Row(host="patient.com", disallow_prefixes=[], crawl_delay=1000.0),
+         Row(host="fast.com", disallow_prefixes=[], crawl_delay=None)],
+        schema=S.ROBOTS,
+    )
+    cfg = CrawlConfig(per_host_budget=4, host_salt_buckets=4)  # 60s rounds
+    stride = -(-1000 // 60)  # ceil = 17
+    sched_rounds = []
+    for rnd in range(2 * stride):
+        got = politeness_schedule(
+            f, cfg, delays=delays, round_no=rnd
+        ).collect()
+        hosts = [r.host for r in got]
+        assert hosts.count("fast.com") == 4  # unaffected every round
+        if "patient.com" in hosts:
+            assert hosts.count("patient.com") == 1  # clamped budget
+            sched_rounds.append(rnd)
+    # exactly one eligible round per stride window, stride rounds apart
+    assert len(sched_rounds) == 2
+    assert sched_rounds[1] - sched_rounds[0] == stride
+    # without round_no (the contract-query form): every round, clamp 1
+    got = politeness_schedule(f, cfg, delays=delays).collect()
+    assert [r.host for r in got].count("patient.com") == 1
+
+
+def test_duplicate_hosts_in_side_frames_never_fan_out(spark):
+    """delays/budgets build sides collapse to one row per host (max
+    delay / min budget): a static robots cache unioned with the live
+    table may carry a host twice, and a duplicated join key would
+    double-schedule (and double-fetch) every frontier row of that
+    host."""
+    from pyspark.sql import Row
+
+    from zeno_spark import schemas as S
+
+    items = [_item(f"http://dup.com/p/{i}", "dup.com", i) for i in range(8)]
+    f = _frontier(spark, items)
+    delays = spark.createDataFrame(
+        [Row(host="dup.com", disallow_prefixes=[], crawl_delay=30.0),
+         Row(host="dup.com", disallow_prefixes=[], crawl_delay=90.0)],
+        schema=S.ROBOTS,
+    )
+    budgets = spark.createDataFrame(
+        [("dup.com", 6), ("dup.com", 3)], "host string, budget int"
+    )
+    cfg = CrawlConfig(per_host_budget=4, host_salt_buckets=4)
+    got = politeness_schedule(f, cfg, delays=delays).collect()
+    # max delay 90 wins: floor(60/90)=0 -> clamp 1; and NO duplicates
+    assert [r.enqueue_seq for r in got] == [0]
+    got = politeness_schedule(f, cfg, budgets=budgets).collect()
+    # min override 3 wins; unique rows
+    assert sorted(r.enqueue_seq for r in got) == [0, 1, 2]
+
+
 def test_crawl_delay_shrinks_budget(spark):
     """robots Crawl-delay -> per-round budget: one round models
     cfg.round_seconds (60 s), so delay 30 allows 2 fetches/round,

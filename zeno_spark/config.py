@@ -79,6 +79,17 @@ class CrawlConfig:
                                                # scale (10^10 rows -> N ~ 2-4k on
                                                # a real cluster); 0 disables the
                                                # bucketed layout
+    bloom_buckets: int = 32                    # D9 bloom-index buckets.  SIZE TO
+                                               # SCALE: a bucket whose key count
+                                               # exceeds max_bits/bits_per_key
+                                               # (~1.3e7 keys at defaults) drops
+                                               # to the cuckoo overflow tier and
+                                               # gets rebuilt every merge — at
+                                               # 10^10 seen rows use ~1024 so
+                                               # buckets stay in the bloom tier.
+                                               # The built index records this
+                                               # value and refuses a mismatched
+                                               # probe/merge.
     sitespecific_expand: bool = True           # §2.7 derived-capture rewrites
                                                # (capture.go:213-315) as extra
                                                # asset candidates per round

@@ -55,7 +55,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _BLOOM_SCHEMA = (
-    "bucket int, m_bits long, k int, overflow boolean, bits binary, n_keys long"
+    "bucket int, m_bits long, k int, overflow boolean, bits binary, "
+    "n_keys long, n_buckets int"
 )
 _BLOOM_MERGE_SCHEMA = _BLOOM_SCHEMA + ", rebuild boolean"
 
@@ -66,7 +67,15 @@ _BLOOM_MERGE_SCHEMA = _BLOOM_SCHEMA + ", rebuild boolean"
 # the prefilter-only discipline holds), but capacity degrades gracefully
 # (kicked-out fingerprints fall back to an always-maybe stash) instead
 # of the filter saturating to all-ones the way an undersized bloom does.
-# Vectorized build/query in numpy; slots are uint16 fingerprints.
+# Query is fully vectorized numpy; build places the bulk vectorized
+# (sort + rank-within-bucket) with a Python kick loop only for the
+# conflict tail.  Slots are uint16 fingerprints.
+#
+# The tier is a SAFETY NET, not the steady state: the cuckoo table is
+# batch-built, so merge_bloom_index flags an overflowed bucket for
+# rebuild on every delta.  If buckets sit in overflow permanently, the
+# index is undersized — raise cfg.bloom_buckets so each bucket's keys
+# fit max_bits/bits_per_key (the sizing rule in config.py).
 # ---------------------------------------------------------------------------
 
 _CUCKOO_SLOTS = 4          # slots per bucket
@@ -97,17 +106,24 @@ def cuckoo_build(hashes: np.ndarray, load: float = 0.84) -> tuple[np.ndarray, np
     stash: list[int] = []
     fp, b1, b2 = _cuckoo_params(hashes.astype(np.uint64), n_buckets)
     rng_state = np.uint64(0x9E3779B97F4A7C15)
-    for i in range(len(hashes)):
+    # bulk pass, vectorized: sort keys by their primary bucket, compute
+    # each key's rank within its bucket run, and scatter the first
+    # _CUCKOO_SLOTS of every bucket straight into the table — one numpy
+    # pass places ~load-fraction of all keys; only keys whose primary
+    # bucket ran out of slots go through the per-key kick loop below
+    order = np.argsort(b1, kind="stable")
+    sb = b1[order]
+    rank = np.arange(len(sb)) - np.searchsorted(sb, sb)
+    fits = rank < _CUCKOO_SLOTS
+    placed_idx = order[fits]
+    table[b1[placed_idx], rank[fits]] = fp[placed_idx]
+    for i in order[~fits]:
         f, c1, c2 = int(fp[i]), int(b1[i]), int(b2[i])
-        placed = False
-        for b in (c1, c2):
-            row = table[b]
-            empty = np.flatnonzero(row == 0)
-            if len(empty):
-                row[empty[0]] = f
-                placed = True
-                break
-        if placed:
+        # c1 is full by construction of the bulk pass; try c2
+        row = table[c2]
+        empty = np.flatnonzero(row == 0)
+        if len(empty):
+            row[empty[0]] = f
             continue
         cur_b, cur_f = c1, f
         for kick in range(_CUCKOO_MAX_KICKS):
@@ -195,12 +211,16 @@ def bucket_of(col, n_buckets: int):
 
 def _build_one_filter(
     bucket: int, hashes: np.ndarray, bits_per_key: int, k: int,
-    min_bits: int, max_bits: int, headroom: int,
+    min_bits: int, max_bits: int, headroom: int, n_buckets: int,
 ) -> dict:
     """One bucket's filter row as a plain dict.  ``headroom`` scales the
     bloom's capacity past the current key count so the incremental
     merge path (merge_bloom_index) can OR future rounds' keys in
-    without an immediate rebuild."""
+    without an immediate rebuild.  The row carries ``n_buckets`` — the
+    bucket-count the index was built under — so probe and merge can
+    REFUSE a mismatched routing instead of silently testing keys
+    against the wrong bucket's filter (a mismatch would produce false
+    negatives, breaking the exact-dedup guarantee with no error)."""
     import struct
 
     n = len(hashes)
@@ -216,7 +236,7 @@ def _build_one_filter(
         )
         return {
             "bucket": bucket, "m_bits": m, "k": k, "overflow": True,
-            "bits": payload, "n_keys": n,
+            "bits": payload, "n_keys": n, "n_buckets": n_buckets,
         }
     bits = np.zeros(m // 8, dtype=np.uint8)
     if n:
@@ -224,7 +244,7 @@ def _build_one_filter(
         np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
     return {
         "bucket": bucket, "m_bits": m, "k": k, "overflow": False,
-        "bits": bits.tobytes(), "n_keys": n,
+        "bits": bits.tobytes(), "n_keys": n, "n_buckets": n_buckets,
     }
 
 
@@ -244,7 +264,7 @@ def build_bloom_index(
         row = _build_one_filter(
             int(pdf["bucket"].iloc[0]),
             pdf["url_hash"].to_numpy(dtype=np.int64),
-            bits_per_key, k, min_bits, max_bits, headroom,
+            bits_per_key, k, min_bits, max_bits, headroom, n_buckets,
         )
         return pd.DataFrame({c: [v] for c, v in row.items()})
 
@@ -281,16 +301,25 @@ def merge_bloom_index(
         hashes = d_pdf["url_hash"].to_numpy(dtype=np.int64)
         if old_pdf.empty:
             row = _build_one_filter(
-                bucket, hashes, bits_per_key, k, min_bits, max_bits, headroom
+                bucket, hashes, bits_per_key, k, min_bits, max_bits,
+                headroom, n_buckets,
             )
             row["rebuild"] = False
             return pd.DataFrame({c: [v] for c, v in row.items()})
         old = old_pdf.iloc[0]
+        if int(old["n_buckets"]) != n_buckets:
+            raise ValueError(
+                f"bloom index built with n_buckets={int(old['n_buckets'])} "
+                f"but merge called with n_buckets={n_buckets}: a mismatch "
+                f"routes keys to the wrong bucket's filter (silent false "
+                f"negatives) — rebuild the index or fix the caller"
+            )
         out = {
             "bucket": bucket, "m_bits": int(old["m_bits"]),
             "k": int(old["k"]), "overflow": bool(old["overflow"]),
             "bits": bytes(old["bits"]),
             "n_keys": int(old["n_keys"]) + len(hashes),
+            "n_buckets": n_buckets,
             "rebuild": False,
         }
         if len(hashes) == 0:
@@ -333,6 +362,13 @@ def bloom_prefilter(
     def _test(key, cand_pdf: pd.DataFrame, bloom_pdf: pd.DataFrame) -> pd.DataFrame:
         if cand_pdf.empty:
             return pd.DataFrame(columns=cols + ["maybe_seen"])
+        if not bloom_pdf.empty and int(bloom_pdf["n_buckets"].iloc[0]) != n_buckets:
+            raise ValueError(
+                f"bloom index built with n_buckets="
+                f"{int(bloom_pdf['n_buckets'].iloc[0])} but probed with "
+                f"n_buckets={n_buckets}: mismatched routing would yield "
+                f"silent false negatives — fix the caller"
+            )
         if bloom_pdf.empty:
             maybe = np.zeros(len(cand_pdf), dtype=bool)
         elif bool(bloom_pdf["overflow"].iloc[0]):

@@ -115,6 +115,18 @@ def edge_candidates(
     """(parent_url, parent_hop, parent_host, dst_url, kind) edges ->
     gated FRONTIER-shaped candidate rows (shared tail of both
     extraction modes)."""
+    # statically-doomed edges never pay the Arrow roundtrip: with
+    # domains_crawl off, an outlink at parent_hop == max_hops fails F6
+    # whatever the UDF computes (hop_next = parent_hop + 1 > max_hops;
+    # assets keep parent hop, and domains_crawl can re-enter at hop 0,
+    # so both are exempt).  In the fringe rounds of a depth-limited
+    # crawl these are the MAJORITY of edges, and the enrich UDF is the
+    # dominant extract cost — identical output, fraction of the work.
+    if not cfg.domains_crawl:
+        edges = edges.filter(
+            (F.col("kind") == "asset")
+            | (F.col("parent_hop") + 1 <= F.lit(cfg.max_hops))
+        )
     # P3-P6: resolve relative vs parent, strip fragment, canonicalize,
     # hash, host — ONE fused Arrow roundtrip (enrich_url_udf); chaining
     # separate pandas UDFs would serialize the batch once per step.

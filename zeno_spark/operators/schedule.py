@@ -47,6 +47,7 @@ def politeness_schedule(
     cfg: CrawlConfig,
     delays: DataFrame | None = None,
     budgets: DataFrame | None = None,
+    round_no: int | None = None,
 ) -> DataFrame:
     """Pick this round's fetch set: per-host FIFO top-`per_host_budget`.
 
@@ -55,10 +56,18 @@ def politeness_schedule(
     budget: one round models ``cfg.round_seconds`` of wall clock (the
     same logical clock streaming/live.py uses), so a host asking for
     d-second spacing gets min(budget, max(1, floor(round_seconds/d)))
-    fetches per round.  The reference has no delay enforcement at all
-    (SURVEY §2.10); this is the F10-adjacent politeness tier the robots
-    column exists for.  Broadcast join — the delay side is one row per
-    host with a delay.
+    fetches per round.  For d LONGER than a round (floor = 0, where the
+    per-round cap alone enforces nothing) the host is additionally
+    gated to one round per ``stride = ceil(d / round_seconds)`` rounds
+    when ``round_no`` is supplied — stateless cross-round spacing: the
+    host's eligible rounds are ``round_no % stride == hash(host) %
+    stride``, so consecutive fetch rounds sit >= stride apart and the
+    modeled spacing respects d.  The reference has no delay enforcement
+    at all (SURVEY §2.10); this is the F10-adjacent politeness tier the
+    robots column exists for.  Broadcast join — the delay side is one
+    row per host with a delay; duplicate hosts (e.g. a static robots
+    cache unioned with the live table) collapse to the LONGEST delay,
+    never to doubled frontier rows.
 
     ``budgets`` (optional) is a tiny (host, budget) frame of PER-HOST
     budget overrides — the AIMD adaptive-politeness recommendations
@@ -68,7 +77,9 @@ def politeness_schedule(
     so the salt-phase bound is the per-row effective budget (keeping
     phase 1 a superset per host, which is what keeps the salted plan
     exact).  A delay shrink applies ON TOP of the override (robots
-    always wins).  Broadcast join — one row per recommended host."""
+    always wins).  Broadcast join — one row per recommended host;
+    duplicate hosts collapse to the SMALLEST override (conservative),
+    never to doubled frontier rows."""
     budget = cfg.per_host_budget
     # within-host order: FIFO (the local queue, index/index.go:82-90) or
     # LIFO (the HQ feed's default strategy, cmd/get_hq.go:55 /
@@ -86,11 +97,13 @@ def politeness_schedule(
     order = [F.col("priority").desc(), seq, F.col("url_hash").asc()]
     df = frontier
     if budgets is not None:
+        # one row per host, whatever the caller supplied: a duplicate
+        # host on a join's build side would DUPLICATE every frontier
+        # row of that host (double-fetch, doubled metrics) — collapse
+        # to the smallest (most conservative) override instead
         ov = F.broadcast(
-            budgets.select(
-                F.col("host").alias("__b_host"),
-                F.col("budget").alias("__b_budget"),
-            )
+            budgets.groupBy(F.col("host").alias("__b_host"))
+            .agg(F.min("budget").alias("__b_budget"))
         )
         df = df.join(ov, df["host"] == F.col("__b_host"), "left")
     eff_budget = (
@@ -112,14 +125,33 @@ def politeness_schedule(
         )
     budget_col = eff_budget
     if delays is not None:
+        # longest delay wins on duplicate hosts (conservative), and the
+        # build side stays one-row-per-host so the left join can never
+        # fan frontier rows out
         d = F.broadcast(
             delays.filter(F.col("crawl_delay").isNotNull())
-            .select(
-                F.col("host").alias("__d_host"),
-                F.col("crawl_delay").alias("__delay"),
-            )
+            .groupBy(F.col("host").alias("__d_host"))
+            .agg(F.max("crawl_delay").alias("__delay"))
         )
         df = df.join(d, df["host"] == F.col("__d_host"), "left")
+        if round_no is not None:
+            # cross-round spacing for d > round_seconds: the per-round
+            # budget floor of 1 would otherwise fetch EVERY round —
+            # round_seconds/d times the host's requested spacing.  A
+            # host-hashed phase (stateless, deterministic) admits the
+            # host once per stride rounds; within its round the budget
+            # math below caps it at max(1, floor(round_seconds/d)) = 1.
+            stride = F.ceil(
+                F.col("__delay") / F.lit(float(cfg.round_seconds))
+            ).cast("long")
+            df = df.filter(
+                F.col("__delay").isNull()
+                | (stride <= 1)
+                | (
+                    F.pmod(F.lit(round_no), stride)
+                    == F.pmod(F.xxhash64(F.col("__d_host")), stride)
+                )
+            )
         budget_col = F.when(
             F.col("__delay").isNotNull() & (F.col("__delay") > 0),
             F.least(

@@ -305,7 +305,8 @@ class CrawlJob:
         items = apply_admission(items, self.cfg)
         items = dedup.in_batch_dedupe(items)
         new = dedup.dedupe_against_seen(
-            items, self.seen.read(), use_bloom=self.cfg.bloom_prefilter
+            items, self.seen.read(), use_bloom=self.cfg.bloom_prefilter,
+            n_buckets=self.cfg.bloom_buckets,
         ).cache()
         n = new.count()
         self.frontier.append(new)
@@ -386,7 +387,10 @@ class CrawlJob:
             return None
         if self.bloom.current_version() == 0:
             self.bloom.rewrite(
-                dedup.build_bloom_index(self.seen.read(), headroom=2)
+                dedup.build_bloom_index(
+                    self.seen.read(), n_buckets=self.cfg.bloom_buckets,
+                    headroom=2,
+                )
             )
         return self.bloom.read()
 
@@ -399,7 +403,8 @@ class CrawlJob:
         the round marker: a crash in between rolls bloom and seen back
         together, preserving the superset invariant."""
         merged = dedup.merge_bloom_index(
-            self.bloom.read(), new_hashes.select("url_hash")
+            self.bloom.read(), new_hashes.select("url_hash"),
+            n_buckets=self.cfg.bloom_buckets,
         ).cache()
         flagged = [
             r.bucket
@@ -409,8 +414,11 @@ class CrawlJob:
         if flagged:
             rebuilt = dedup.build_bloom_index(
                 self.seen.read().filter(
-                    dedup.bucket_of("url_hash", 32).isin(flagged)
+                    dedup.bucket_of(
+                        "url_hash", self.cfg.bloom_buckets
+                    ).isin(flagged)
                 ),
+                n_buckets=self.cfg.bloom_buckets,
                 headroom=2,
             )
             keep = keep.unionByName(rebuilt)
@@ -436,7 +444,8 @@ class CrawlJob:
             else None
         )
         sched = politeness_schedule(
-            gated, cfg, delays=delays, budgets=self._adaptive_budgets()
+            gated, cfg, delays=delays, budgets=self._adaptive_budgets(),
+            round_no=round_no,
         ).cache()
 
         # NARROW fetch result (no payload bytes) — the ONLY cacheable
@@ -495,7 +504,7 @@ class CrawlJob:
         in_batch = dedup.in_batch_dedupe(cand)
         new = dedup.dedupe_against_seen(
             in_batch, self.seen.read(), use_bloom=cfg.bloom_prefilter,
-            bloom_index=self._bloom_index(),
+            n_buckets=cfg.bloom_buckets, bloom_index=self._bloom_index(),
         ).cache()
 
         frontier_cols = [f.name for f in schemas.FRONTIER.fields]

@@ -75,6 +75,10 @@ BLOOM = T.StructType(
         T.StructField("overflow", T.BooleanType(), False),
         T.StructField("bits", T.BinaryType(), False),
         T.StructField("n_keys", T.LongType(), False),
+        # the bucket count the index was built under: probe/merge refuse
+        # a mismatched routing (silent false negatives) instead of
+        # trusting four call sites to agree by convention
+        T.StructField("n_buckets", T.IntegerType(), False),
     ]
 )
 
