@@ -223,6 +223,38 @@ Disallow: /other/
     assert delay == 2.5
     assert parse_robots_txt("User-agent: *\nDisallow:") == ([], None)
     assert parse_robots_txt("") == ([], None)
+    # a UTF-8 BOM on the first line must not hide the * group
+    assert parse_robots_txt(
+        "\ufeffUser-agent: *\nDisallow: /x\n"
+    ) == (["/x"], None)
+
+
+def test_robots_gate_wildcards(spark):
+    """RFC 9309 '*' (any chars) and trailing '$' (end anchor) rules must
+    MATCH, not sit inert as literal prefixes — an inert wildcard rule
+    crawls exactly the URLs the site disallowed."""
+    from zeno_spark import schemas
+    from zeno_spark.operators.admission import apply_robots_gate
+
+    cand = spark.createDataFrame(
+        [("http://w.com/page?sessionid=9", "w.com"),
+         ("http://w.com/page", "w.com"),
+         ("http://w.com/private", "w.com"),
+         ("http://w.com/private/sub", "w.com"),
+         ("http://w.com/a/mid/b", "w.com"),
+         ("http://w.com/a/b", "w.com")],
+        "url string, host string",
+    )
+    robots = spark.createDataFrame(
+        [("w.com", ["/*?sessionid=", "/private$", "/a/*/b"], None)],
+        schema=schemas.ROBOTS,
+    )
+    kept = {r.url for r in apply_robots_gate(cand, robots).collect()}
+    assert kept == {
+        "http://w.com/page",          # no sessionid
+        "http://w.com/private/sub",   # $ anchors: only exact /private
+        "http://w.com/a/b",           # no middle segment for /a/*/b
+    }
 
 
 def test_robots_gate_spark(spark):

@@ -521,3 +521,116 @@ def test_resumed_crawl_does_not_refetch_robots(spark, corpus, cfg, tmp_path):
         assert not refetched, f"robots re-fetched on resume: {refetched}"
     finally:
         srv.shutdown()
+
+
+def test_hostile_and_oversize_responses_do_not_kill_the_round(spark):
+    """One bad server must not abort a crawl round: malformed/overflow
+    x-zeno headers parse to null instead of crashing the Arrow worker;
+    an unbounded body cuts off at max_body_bytes and records the
+    permanent OVERSIZE sentinel (dead, not retried); payloads in codecs
+    this container cannot decode (real-world JPEG) are CAPTURED
+    unverified instead of being rejected as 422."""
+    from zeno_spark.operators.transport import STATUS_OVERSIZE
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):  # noqa: N802
+            if self.path.endswith("/huge"):
+                body = b"x" * 5000
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+            elif self.path.endswith("/badheaders"):
+                body = b"ok"
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("X-Zeno-W", "abc")
+                self.send_header("X-Zeno-H", str(2 ** 70))
+                self.send_header("X-Zeno-Phash", "notanint")
+                self.send_header("X-Zeno-Caption", "still fine")
+            elif self.path.endswith("/real.jpg"):
+                body = b"\xff\xd8\xff\xe0 not decodable here"
+                self.send_response(200)
+                self.send_header("Content-Type", "image/jpeg")
+                self.send_header("X-Zeno-Caption", "cap")
+            else:
+                body = b""
+                self.send_response(404)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://h.example"
+        pages = spark.createDataFrame(
+            [(f"{base}/huge",), (f"{base}/badheaders",), (f"{base}/real.jpg",)],
+            "url string",
+        )
+        sched = _sched_rows(spark, pages)
+        live = HttpTransport(
+            proxy=f"http://127.0.0.1:{srv.server_address[1]}",
+            timeout=15.0, max_retries=0, max_body_bytes=1024,
+        )
+        got = {r.url: r for r in fetch_meta(sched, None, transport=live).collect()}
+        assert got[f"{base}/huge"].status == STATUS_OVERSIZE
+        bad = got[f"{base}/badheaders"]
+        assert bad.status == 200
+        assert (bad.w, bad.h, bad.phash) == (None, None, None)
+        assert bad.caption == "still fine"
+        jpg = got[f"{base}/real.jpg"]
+        assert jpg.status == 200  # captured, not 422: codec unsupported
+        assert jpg.caption == "cap" and jpg.fmt == "jpeg"
+    finally:
+        srv.shutdown()
+
+
+def test_transient_robots_failures_are_not_cached(spark):
+    """A host whose robots.txt is transiently unreachable (5xx / conn
+    failure on both passes) must NOT be cached as allow-all — it stays
+    uncovered and is re-fetched later; a definitive 404 still caches
+    the allow-all row."""
+    from zeno_spark.operators.robots import fetch_robots_live
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):  # noqa: N802
+            if "down.example" in self.path:
+                self.send_response(503)
+                body = b""
+            elif "ok.example" in self.path:
+                self.send_response(200)
+                body = b"User-agent: *\nDisallow: /priv/\n"
+                self.send_header("Content-Type", "text/plain")
+            else:  # gone.example -> definitive 404
+                self.send_response(404)
+                body = b""
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        live = HttpTransport(
+            proxy=f"http://127.0.0.1:{srv.server_address[1]}",
+            timeout=15.0, max_retries=0,
+        )
+        hosts = spark.createDataFrame(
+            [("down.example",), ("ok.example",), ("gone.example",)],
+            "host string",
+        )
+        rows = {r.host: r for r in fetch_robots_live(hosts, live).collect()}
+        assert set(rows) == {"ok.example", "gone.example"}  # no down.example
+        assert rows["ok.example"].disallow_prefixes == ["/priv/"]
+        assert rows["gone.example"].disallow_prefixes == []
+    finally:
+        srv.shutdown()

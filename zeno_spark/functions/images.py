@@ -85,8 +85,14 @@ def encode_fake_jpeg(pixels: np.ndarray) -> bytes:
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
-    """Route by fmt — both formats decode through the PNG path; a real
-    deployment would branch to libjpeg here."""
+    """Route by fmt — both sandbox formats decode through the PNG path
+    (the corpus's "jpeg" is the PNG-framed encode_fake_jpeg construct,
+    FIXTURES.md §1); a GENUINE JPEG byte stream (SOI marker) is the
+    libjpeg dispatch slot, raised as NotImplementedError so the verify
+    tier captures it unverified instead of misclassifying it as a
+    corrupt payload (ValueError)."""
+    if fmt == "jpeg" and data[:2] == b"\xff\xd8":
+        raise NotImplementedError("real JPEG decode needs libjpeg")
     if fmt in ("png", "jpeg"):
         return decode_png(data)
     raise NotImplementedError(f"unsupported fmt {fmt!r}")

@@ -63,11 +63,40 @@ def self_reference_guard(url: Column, parent_url: Column) -> Column:
     return parent_url.isNull() | (url != parent_url)
 
 
+def _robots_rule_matches(path, rule):
+    """One RFC 9309 Disallow rule against a URL path, natively.  Plain
+    rules (the overwhelming majority) take the startswith fast path;
+    rules carrying the RFC's ``*`` (any chars) or trailing ``$`` (end
+    anchor) compile to an anchored regex built in-expression — storing
+    them as literal prefixes would NEVER match, silently crawling
+    exactly the URLs a site disallowed (under-block, the unsafe
+    direction)."""
+    anchored = rule.endswith("$")
+    body = F.when(
+        anchored, rule.substr(F.lit(1), F.length(rule) - 1)
+    ).otherwise(rule)
+    # escape regex metachars (except *, which is the RFC wildcard)...
+    esc = F.regexp_replace(
+        body, r"([.^$+?(){}\[\]\\|])", r"\\$1"
+    )
+    # ...then the wildcard becomes .*
+    pattern = F.concat(
+        F.lit("^"),
+        F.regexp_replace(esc, r"\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+    return F.when(
+        rule.contains("*") | anchored, F.regexp_like(path, pattern)
+    ).otherwise(path.startswith(rule))
+
+
 def apply_robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     """F10 (addition): drop candidate URLs disallowed by the host's robots
     rules.  The robots cache is tiny relative to the frontier -> broadcast
-    join; the prefix match is a native `exists` over the prefix array (no
-    Python).  Hosts absent from the cache are allowed (left join)."""
+    join; the rule match is a native `exists` over the rule array (no
+    Python) — startswith for plain prefixes, RFC 9309 ``*``/``$``
+    wildcard rules via an in-expression regex (_robots_rule_matches).
+    Hosts absent from the cache are allowed (left join)."""
     rules = F.broadcast(
         robots.select(
             F.col("host").alias("r_host"),
@@ -78,6 +107,6 @@ def apply_robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
     joined = candidates.join(rules, candidates["host"] == rules["r_host"], "left")
     blocked = F.exists(
         F.coalesce(F.col("r_disallow"), F.array()),
-        lambda p: path.startswith(p),
+        lambda p: _robots_rule_matches(path, p),
     )
     return joined.filter(~blocked).drop("r_host", "r_disallow")

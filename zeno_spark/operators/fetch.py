@@ -61,8 +61,6 @@ from zeno_spark import schemas
 
 # scheduled-frontier columns carried through fetch
 _CARRY = [f.name for f in schemas.FRONTIER.fields]
-_META_COLS = ["image_id", "w", "h", "fmt", "caption", "phash",
-              "content_type", "redirect_to"]
 
 # narrow fetch result: one row per scheduled row, no payload bytes.
 # outlinks/assets are the in-worker live-extraction results (transport
@@ -106,9 +104,18 @@ def _verify_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
     reference's sink (crawl/crawl.go:96-99) applied to the image corpus:
     a fetch isn't 'ok' until its payload decodes AND the recomputed
     perceptual hash agrees with the server-advertised one within the
-    perceptual tolerance.  Undecodable or digest-divergent payloads get
-    status 422; phash is replaced with the value recomputed from the
-    decoded pixels.
+    perceptual tolerance.  CORRUPT (undecodable) or digest-divergent
+    payloads get status 422; phash is replaced with the value recomputed
+    from the decoded pixels.
+
+    UNSUPPORTED codecs pass through unverified: decode_image raises
+    NotImplementedError for formats this container has no decoder for
+    (real-world JPEG, non-filter-0 PNG — functions/images.py's
+    documented dispatch slots), and a live crawl must CAPTURE those
+    payloads, not reject them as 422 — the row keeps its status and the
+    server-advertised phash, exactly like a WARC writer archives bodies
+    it cannot parse.  Only a decoder that ran and failed (ValueError —
+    truncated/corrupt data) or a digest mismatch marks 422.
 
     Input batches carry FETCH_META columns plus __bytes / __adv_phash;
     output batches are FETCH_META exactly — the payload column enters
@@ -137,8 +144,10 @@ def _verify_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatc
             try:
                 px = decode_image(bts[i].as_py(), fmts[i].as_py())
                 recomputed = phash64(px)
+            except NotImplementedError:
+                continue  # no decoder for this codec: capture unverified
             except Exception:
-                status[i] = 422  # fetched but payload undecodable
+                status[i] = 422  # decoder ran and failed: corrupt payload
                 continue
             if adv_ok[i] and bin(
                 (int(adv[i].as_py()) ^ recomputed) & ((1 << 64) - 1)

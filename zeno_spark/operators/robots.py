@@ -35,6 +35,9 @@ def parse_robots_txt(body: str) -> tuple[list[str], float | None]:
     delay: float | None = None
     applies = False        # the current group names User-agent: *
     in_agent_block = False  # consecutive User-agent lines open a group
+    # a UTF-8 BOM glued to the first key would make 'user-agent' parse
+    # as BOM+'user-agent' and silently drop the whole * group
+    body = body.lstrip("\ufeff")
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
@@ -122,11 +125,14 @@ def fetch_robots_live(hosts: DataFrame, transport) -> DataFrame:
     prefix-disallow model above):
 
       * 200 on either scheme -> parse the body;
-      * definitive miss on both -> allow-all row (empty prefixes) —
-        "no robots file means no restrictions";
-      * unreachable on both -> allow-all TOO, flagged by
-        crawl_delay=None like the 404 case; a deployment wanting the
-        RFC's stricter 5xx=disallow-all posture can post-filter.
+      * DEFINITIVE miss (a 4xx other than 429 on the http pass, or a
+        3xx/4xx other than 429 on the https retry) -> allow-all row
+        (empty prefixes) — "no robots file means no restrictions";
+      * TRANSIENT outcome on both passes (connection failure, 5xx,
+        429) -> NO row: the host stays uncovered, is allowed through
+        this round like any unknown host, and is re-fetched on the
+        next round it appears — a brief outage at first contact must
+        not permanently cache allow-all over the host's real rules.
 
     One transport batch per host partition and scheme; the result is
     tiny (one row per host) and feeds apply_robots_gate's broadcast
@@ -144,11 +150,29 @@ def fetch_robots_live(hosts: DataFrame, transport) -> DataFrame:
     ok = first.filter(F.col("__s") == 200).select("host", "body")
     miss = first.filter(
         F.col("__s").isNull() | (F.col("__s") != 200)
-    ).select("host")
-    second = transport.responses(_robots_fetch_rows(miss, "https")).select(
-        "host",
-        F.when(
-            F.col("__page_status") == 200, F.decode(F.col("__bytes"), "UTF-8")
-        ).alias("body"),
+    ).select("host", F.col("__s").alias("__s1"))
+
+    def _definitive(s, lo):  # a real answer, not an outage
+        return s.isNotNull() & s.between(lo, 499) & (s != 429)
+
+    second = (
+        transport.responses(
+            _robots_fetch_rows(miss.select("host"), "https")
+        )
+        .select(
+            F.col("host").alias("__h2"),
+            F.col("__page_status").alias("__s2"),
+            F.when(
+                F.col("__page_status") == 200,
+                F.decode(F.col("__bytes"), "UTF-8"),
+            ).alias("body"),
+        )
+        .join(F.broadcast(miss), F.col("__h2") == miss["host"])
+        .filter(
+            (F.col("__s2") == 200)
+            | _definitive(F.col("__s1"), 400)
+            | _definitive(F.col("__s2"), 300)
+        )  # both-passes-transient hosts cache NOTHING (re-fetch later)
+        .select("host", "body")
     )
     return robots_table_from_bodies(ok.unionByName(second))

@@ -114,9 +114,14 @@ class OriginTableTransport:
         )
 
 
+STATUS_OVERSIZE = 598  # nonstandard sentinel: body exceeded the size cap
+                       # (permanent, lands in split_results' dead bucket
+                       # — re-fetching an oversize body can't help)
+
+
 def _http_worker(proxy, bypass, timeout, max_retries, retry_sleep,
                  warc_dir, rotate_bytes, user_agent, extract,
-                 disabled_tags):
+                 disabled_tags, max_body_bytes):
     """Build the Arrow fetch worker (a closure so the config rides the
     serialized function, not a driver-side object reference)."""
 
@@ -157,8 +162,12 @@ def _http_worker(proxy, bypass, timeout, max_retries, retry_sleep,
                 warc_dir, f"live-{tid:08d}", 0, rotate_bytes=rotate_bytes
             )
 
+        from zeno_spark.operators.fetch import proxy_for_host
+
         def one_get(url, host, referer):
-            opener = direct if (not proxy or host in bypass) else proxied
+            # X4 routing through the ONE tested helper — an inline
+            # re-derivation here could silently diverge from it
+            opener = direct if proxy_for_host(host, proxy, bypass) is None else proxied
             req = urllib.request.Request(
                 url, headers={"User-Agent": user_agent}
             )
@@ -168,12 +177,19 @@ def _http_worker(proxy, bypass, timeout, max_retries, retry_sleep,
             for attempt in range(max_retries + 1):
                 try:
                     with opener.open(req, timeout=timeout) as resp:
-                        return resp.status, dict(resp.headers), resp.read()
+                        # bounded read: a crawl trap streaming an
+                        # unbounded body must not OOM the executor —
+                        # oversize is a PERMANENT condition (distinct
+                        # from the retryable status-0 conn failure)
+                        body = resp.read(max_body_bytes + 1)
+                        if len(body) > max_body_bytes:
+                            return STATUS_OVERSIZE, dict(resp.headers), None
+                        return resp.status, dict(resp.headers), body
                 except urllib.error.HTTPError as e:
                     # a response, not a failure: keep status + headers
                     body = b""
                     try:
-                        body = e.read()
+                        body = e.read(max_body_bytes)
                     except Exception:
                         pass
                     return e.code, dict(e.headers or {}), body
@@ -183,6 +199,16 @@ def _http_worker(proxy, bypass, timeout, max_retries, retry_sleep,
                         time.sleep(retry_sleep * (attempt + 1))
             del last_err
             return None, {}, None
+
+        def _int_or_none(v, lo=-(2 ** 63), hi=2 ** 63 - 1):
+            # hostile/malformed server headers must not crash the task
+            # (a deterministic ValueError/OverflowError would fail every
+            # Spark retry and abort the whole round for one URL)
+            try:
+                n = int(v)
+            except (TypeError, ValueError):
+                return None
+            return n if lo <= n <= hi else None
 
         names = [f.name for f in RESPONSES.fields]
         for b in batches:
@@ -201,12 +227,18 @@ def _http_worker(proxy, bypass, timeout, max_retries, retry_sleep,
                 )
                 is_ok = status == 200
                 out["image_id"].append(hh.get("x-zeno-image-id") if is_ok else None)
-                out["w"].append(int(hh["x-zeno-w"]) if is_ok and "x-zeno-w" in hh else None)
-                out["h"].append(int(hh["x-zeno-h"]) if is_ok and "x-zeno-h" in hh else None)
+                out["w"].append(
+                    _int_or_none(hh["x-zeno-w"], -(2 ** 31), 2 ** 31 - 1)
+                    if is_ok and "x-zeno-w" in hh else None
+                )
+                out["h"].append(
+                    _int_or_none(hh["x-zeno-h"], -(2 ** 31), 2 ** 31 - 1)
+                    if is_ok and "x-zeno-h" in hh else None
+                )
                 out["fmt"].append(fmt if is_ok else None)
                 out["caption"].append(hh.get("x-zeno-caption") if is_ok else None)
                 phash = hh.get("x-zeno-phash")
-                out["phash"].append(int(phash) if is_ok and phash is not None else None)
+                out["phash"].append(_int_or_none(phash) if is_ok else None)
                 out["content_type"].append(ct)
                 out["redirect_to"].append(
                     hh.get("location")
@@ -215,7 +247,12 @@ def _http_worker(proxy, bypass, timeout, max_retries, retry_sleep,
                 )
                 out["__page_status"].append(status)
                 out["__bytes"].append(body if is_ok else None)
-                out["__adv_phash"].append(phash if is_ok else None)
+                # the verify worker int()s this sidecar: pass it through
+                # only when it parses (same guard as the phash column)
+                out["__adv_phash"].append(
+                    phash if is_ok and _int_or_none(phash) is not None
+                    else None
+                )
                 if extract and is_ok and body:
                     # P1-P12 on the live body while it's in hand
                     # (capture.go:459-501 runs the extractors inside the
@@ -320,6 +357,7 @@ class HttpTransport:
         user_agent: str = _USER_AGENT,
         extract: bool = False,
         disabled_tags: frozenset[str] = frozenset(),
+        max_body_bytes: int = 64 << 20,
     ):
         self.proxy = proxy
         self.bypass = tuple(bypass)
@@ -331,11 +369,13 @@ class HttpTransport:
         self.user_agent = user_agent
         self.extract = extract
         self.disabled_tags = frozenset(disabled_tags)
+        self.max_body_bytes = max_body_bytes
 
     def responses(self, scheduled: DataFrame, cfg=None) -> DataFrame:
         worker = _http_worker(
             self.proxy, self.bypass, self.timeout, self.max_retries,
             self.retry_sleep, self.warc_dir, self.rotate_bytes,
             self.user_agent, self.extract, self.disabled_tags,
+            self.max_body_bytes,
         )
         return scheduled.mapInArrow(worker, schema=RESPONSES)
