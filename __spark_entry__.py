@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hosts": Q.q_top_hosts,
         "rolling_rate": Q.q_rolling_rate,
         "payload_revisit": Q.q_payload_revisit,
+        # adaptive-politeness AIMD fold (streaming/politeness.py) — the
+        # custom stateful operator's batch-replay form, oracle'd by a
+        # recursive CTE applying the identical per-host transition
+        "aimd_budgets": Q.q_aimd_budgets,
         # analytics over the star schema
         "pricing_summary": Q.q_pricing_summary,
         "revenue_topk": Q.q_revenue_topk,
@@ -141,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "top_hosts": Q.q_top_hosts_sql(),
         "rolling_rate": Q.q_rolling_rate_sql(),
         "payload_revisit": Q.q_payload_revisit_sql(),
+        "aimd_budgets": Q.q_aimd_budgets_sql(),
         "pricing_summary": Q.q_pricing_summary_sql(),
         "revenue_topk": Q.q_revenue_topk_sql(),
         "region_rollup": Q.q_region_rollup_sql(),

@@ -385,3 +385,86 @@ def q_payload_revisit_sql() -> str:
                     FALSE) AS revisit
     FROM d LEFT JOIN w USING (payload_digest)
     """
+
+
+def q_aimd_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O5 addition — the ADAPTIVE-POLITENESS control law
+    (streaming/politeness.py), run as the REAL batch-replay operator
+    (replay_budgets, applyInPandas — the audit form of the
+    applyInPandasWithState streaming controller) over a per-(host,
+    round) metrics table derived from `events`:
+
+      host        <-> user_id            round    <-> event_id % 4
+      scheduled    =  rows in the group
+      fetched_err  =  'error' rows       (non-200 analogue)
+      redirects    =  'error' rows with value >= 4     (3xx analogue)
+      retries      =  'error' rows with 2 <= value < 4 (429 analogue)
+
+    The fold is RECURSIVE per host (round r's budget depends on round
+    r-1's), so the oracle is a recursive CTE applying the identical
+    transition.  Float discipline: ewma_err is computed by the same
+    binary64 expression sequence in both engines (same constants, same
+    op order), so the value-hash compare is exact — verified bit-equal.
+    Threshold choice exercises all three branches at sf0.01 (147
+    halved / 412 raised / 41 held of 600 rows)."""
+    from zeno_spark.streaming.politeness import replay_budgets
+
+    events = _t(spark, sf_dir, "events")
+    err = F.col("event_type") == "error"
+    metrics = events.groupBy(
+        F.col("user_id").cast("string").alias("host"),
+        (F.col("event_id") % 4).cast("int").alias("round"),
+    ).agg(
+        F.count("*").cast("int").alias("scheduled"),
+        F.sum(F.when(err, 1).otherwise(0)).cast("int").alias("fetched_err"),
+        F.sum(F.when(err & (F.col("value") >= 4.0), 1).otherwise(0))
+        .cast("int").alias("redirects"),
+        F.sum(
+            F.when(err & (F.col("value") >= 2.0) & (F.col("value") < 4.0), 1)
+            .otherwise(0)
+        ).cast("int").alias("retries"),
+    )
+    return replay_budgets(metrics)
+
+
+def q_aimd_budgets_sql() -> str:
+    return """
+    WITH RECURSIVE metrics AS (
+      SELECT CAST(user_id AS VARCHAR) AS host,
+             CAST(event_id % 4 AS INT) AS round,
+             CAST(COUNT(*) AS INT) AS scheduled,
+             CAST(SUM(CASE WHEN event_type = 'error'
+                           THEN 1 ELSE 0 END) AS INT) AS fetched_err,
+             CAST(SUM(CASE WHEN event_type = 'error' AND value >= 4.0
+                           THEN 1 ELSE 0 END) AS INT) AS redirects,
+             CAST(SUM(CASE WHEN event_type = 'error'
+                            AND value >= 2.0 AND value < 4.0
+                           THEN 1 ELSE 0 END) AS INT) AS retries
+      FROM events GROUP BY 1, 2),
+    ord AS (
+      SELECT *,
+             CAST(row_number() OVER (PARTITION BY host
+                                     ORDER BY round) AS INT) AS rn,
+             GREATEST(0, fetched_err - redirects - retries) AS hard_err,
+             CAST(GREATEST(0, fetched_err - redirects - retries) + retries
+                  AS DOUBLE) / CAST(scheduled AS DOUBLE) AS err_rate
+      FROM metrics),
+    fold AS (
+      SELECT host, CAST(NULL AS INT) AS round, 0 AS rn,
+             16 AS budget, CAST(0.0 AS DOUBLE) AS ewma_err
+      FROM (SELECT DISTINCT host FROM ord)
+      UNION ALL
+      SELECT host, round, rn,
+             CASE WHEN retries > 0
+                    THEN GREATEST(1, CAST(floor(budget0 / 2.0) AS INT))
+                  WHEN hard_err = 0 AND ewma1 < 0.1
+                    THEN LEAST(256, budget0 + 4)
+                  ELSE budget0 END AS budget,
+             ewma1 AS ewma_err
+      FROM (SELECT o.host, o.round, o.rn, f.budget AS budget0,
+                   o.hard_err, o.retries,
+                   (1.0 - 0.3) * f.ewma_err + 0.3 * o.err_rate AS ewma1
+            FROM fold f
+            JOIN ord o ON o.host = f.host AND o.rn = f.rn + 1) s)
+    SELECT host, round, budget, ewma_err FROM fold WHERE rn >= 1
+    """
