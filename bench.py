@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "top_hosts",
     "rolling_rate",
     "payload_revisit",
+    "aimd_budgets",
     "pricing_summary",
     "revenue_topk",
     "region_rollup",
