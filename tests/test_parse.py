@@ -274,6 +274,45 @@ def test_robots_gate_spark(spark):
     assert kept == {"http://a.com/ok", "http://b.com/private/x"}
 
 
+def test_robots_gate_shuffle_path_and_duplicate_hosts(spark):
+    """Two scale behaviors of the gate:
+
+    * duplicate hosts on the rules side (a user-supplied static cache
+      overlapping the live-fetched table on a resumed crawl) must apply
+      the UNION of both rule sets and must NOT fan frontier rows out
+      through the left join (double-fetch);
+    * broadcast=False (the 10^8-host cache path, selected by
+      cfg.robots_broadcast_max_hosts) must produce the identical result
+      through the salted shuffle join."""
+    from pyspark.sql import functions as F
+
+    from zeno_spark import schemas
+    from zeno_spark.operators.admission import apply_robots_gate
+
+    cand = spark.createDataFrame(
+        [("http://a.com/private/x", "a.com"),
+         ("http://a.com/ok", "a.com"),
+         ("http://a.com/blog/post", "a.com"),
+         ("http://b.com/private/x", "b.com"),
+         ("http://c.com/q", "c.com")],
+        "url string, host string",
+    ).withColumn("url_hash", F.xxhash64("url"))
+    robots = spark.createDataFrame(
+        [("a.com", ["/private/"], None),
+         ("a.com", ["/blog/"], 2.0),   # duplicate host: both sets apply
+         ("c.com", [], None)],
+        schema=schemas.ROBOTS,
+    )
+    expect = {"http://a.com/ok", "http://b.com/private/x", "http://c.com/q"}
+    for kwargs in (
+        {"broadcast": True},
+        {"broadcast": False, "salt_buckets": 4},
+    ):
+        rows = apply_robots_gate(cand, robots, **kwargs).collect()
+        assert {r.url for r in rows} == expect, kwargs
+        assert len(rows) == len(expect), kwargs  # no fan-out
+
+
 # ---------------------------------------------------------------------------
 # inline <script> assets + per-tag disable (assets.go:302-381, cmd/get.go:48)
 # ---------------------------------------------------------------------------

@@ -194,6 +194,43 @@ def test_bucketed_seen_join_shape_in_crawl(spark, tmp_path):
     assert "Exchange" not in right
 
 
+def test_robots_gate_scale_path_drops_the_forced_broadcast(spark):
+    """The robots cache grows with every host a wide crawl ever meets;
+    at 10^8 hosts its disallow arrays are tens of GB and a per-round
+    forced broadcast is an executor OOM.  broadcast=False (selected by
+    cfg.robots_broadcast_max_hosts from free catalog row counts) must
+    leave NO broadcast hint — with the planner's own broadcasting
+    disabled the gate plans a salted equi shuffle join, never a
+    nested-loop — while the default fast path still broadcasts."""
+    from pyspark.sql import functions as F
+
+    from zeno_spark import schemas
+    from zeno_spark.operators.admission import apply_robots_gate
+
+    cand = spark.range(0, 100).select(
+        F.concat(F.lit("http://h"), F.col("id") % 7, F.lit(".com/p"),
+                 F.col("id")).alias("url"),
+        F.concat(F.lit("h"), F.col("id") % 7, F.lit(".com")).alias("host"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+    )
+    robots = spark.createDataFrame(
+        [("h1.com", ["/p1"], None)], schema=schemas.ROBOTS
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        scale = _plan(
+            apply_robots_gate(cand, robots, broadcast=False, salt_buckets=4)
+        )
+        fast = _plan(apply_robots_gate(cand, robots, broadcast=True))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in scale
+    assert "BroadcastNestedLoopJoin" not in scale
+    assert "CartesianProduct" not in scale
+    assert "BroadcastExchange" in fast
+
+
 def test_candidate_joins_declare_explicit_parallelism(docs, embs):
     """AQE-coalesce guard (datapipe/partitioning.py): every candidate
     self-join's banded sides carry a user-specified RepartitionByExpression

@@ -27,6 +27,22 @@ class CrawlConfig:
                                                # have no pre-built robots table);
                                                # cache refreshed per round for
                                                # hosts not yet covered
+    robots_broadcast_max_hosts: int = 1_000_000
+                                               # F10 join strategy: force-
+                                               # broadcast the robots cache into
+                                               # the gate/delay joins only while
+                                               # its host count (catalog row-
+                                               # count metadata, free) stays
+                                               # under this.  A years-long wide
+                                               # crawl accumulates 10^8 hosts of
+                                               # disallow arrays — tens of GB, a
+                                               # per-round broadcast that would
+                                               # kill executors; above the
+                                               # threshold the gate joins salted
+                                               # on (host, pmod(url_hash, salt))
+                                               # and the planner's own size
+                                               # estimate picks the strategy.
+                                               # 0 = never force broadcast
 
     # fetch routing (X4, capture.go:60-64, crawl/crawl.go:134-148)
     proxy: str | None = None                   # proxied client when set

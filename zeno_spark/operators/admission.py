@@ -90,23 +90,67 @@ def _robots_rule_matches(path, rule):
     ).otherwise(path.startswith(rule))
 
 
-def apply_robots_gate(candidates: DataFrame, robots: DataFrame) -> DataFrame:
+def apply_robots_gate(
+    candidates: DataFrame,
+    robots: DataFrame,
+    broadcast: bool = True,
+    salt_buckets: int = 1,
+) -> DataFrame:
     """F10 (addition): drop candidate URLs disallowed by the host's robots
-    rules.  The robots cache is tiny relative to the frontier -> broadcast
-    join; the rule match is a native `exists` over the rule array (no
+    rules.  The rule match is a native `exists` over the rule array (no
     Python) — startswith for plain prefixes, RFC 9309 ``*``/``$``
     wildcard rules via an in-expression regex (_robots_rule_matches).
-    Hosts absent from the cache are allowed (left join)."""
-    rules = F.broadcast(
-        robots.select(
-            F.col("host").alias("r_host"),
-            F.col("disallow_prefixes").alias("r_disallow"),
-        )
+    Hosts absent from the cache are allowed (left join).
+
+    Duplicate hosts on the rules side (a user-supplied static cache
+    overlapping the live-fetched table on a resumed crawl) would fan
+    every frontier row of that host out through the left join
+    (double-fetch); the rules side therefore collapses to ONE row per
+    host, the disallow sets UNIONED — both rule sets apply, the
+    conservative direction.
+
+    Join strategy is the caller's scale decision (plans/crawl.py sizes
+    it from the catalog's free row-count metadata,
+    cfg.robots_broadcast_max_hosts):
+
+      * ``broadcast=True`` (default, the fast path while the cache fits
+        executor memory): force-broadcast the collapsed rules — zero
+        shuffle of the candidates.
+      * ``broadcast=False`` (the 10^8-host cache a years-long wide
+        crawl accumulates — tens of GB of disallow arrays, droppable
+        by no broadcast): leave the strategy to the planner's own size
+        estimate (it correctly refuses oversized builds), and SALT the
+        join key with ``pmod(url_hash, salt_buckets)`` — the rules side
+        explodes one row per (host, salt), still tiny relative to the
+        frontier, so a shuffle join spreads a hot host's candidate rows
+        across ``salt_buckets`` partitions instead of re-creating the
+        skew the politeness window's salted phase exists to kill."""
+    rules = robots.groupBy(F.col("host").alias("r_host")).agg(
+        F.array_distinct(
+            F.flatten(F.collect_list("disallow_prefixes"))
+        ).alias("r_disallow")
     )
     path = F.regexp_replace(F.col("url"), r"^https?://[^/]*", "")
-    joined = candidates.join(rules, candidates["host"] == rules["r_host"], "left")
+    if broadcast:
+        joined = candidates.join(
+            F.broadcast(rules), candidates["host"] == rules["r_host"], "left"
+        )
+    else:
+        n = max(1, salt_buckets)
+        salted = rules.select(
+            "r_host", "r_disallow",
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("__r_salt"),
+        )
+        joined = candidates.join(
+            salted,
+            (candidates["host"] == salted["r_host"])
+            & (F.pmod(F.col("url_hash"), F.lit(n)).cast("int")
+               == F.col("__r_salt")),
+            "left",
+        )
     blocked = F.exists(
         F.coalesce(F.col("r_disallow"), F.array()),
         lambda p: _robots_rule_matches(path, p),
     )
-    return joined.filter(~blocked).drop("r_host", "r_disallow")
+    out = joined.filter(~blocked).drop("r_host", "r_disallow")
+    return out.drop("__r_salt") if not broadcast else out

@@ -48,6 +48,7 @@ def politeness_schedule(
     delays: DataFrame | None = None,
     budgets: DataFrame | None = None,
     round_no: int | None = None,
+    broadcast_delays: bool = True,
 ) -> DataFrame:
     """Pick this round's fetch set: per-host FIFO top-`per_host_budget`.
 
@@ -127,12 +128,19 @@ def politeness_schedule(
     if delays is not None:
         # longest delay wins on duplicate hosts (conservative), and the
         # build side stays one-row-per-host so the left join can never
-        # fan frontier rows out
-        d = F.broadcast(
+        # fan frontier rows out.  ``broadcast_delays=False`` is the
+        # 10^8-delay-host scale path (the caller sizes it from catalog
+        # row counts): the hint is dropped and the planner picks by its
+        # own size estimate — the join's left side is already the
+        # phase-1 survivors (<= budget*salt_buckets rows per host), so
+        # a shuffle join here is bounded and skew-free.
+        d = (
             delays.filter(F.col("crawl_delay").isNotNull())
             .groupBy(F.col("host").alias("__d_host"))
             .agg(F.max("crawl_delay").alias("__delay"))
         )
+        if broadcast_delays:
+            d = F.broadcast(d)
         df = df.join(d, df["host"] == F.col("__d_host"), "left")
         if round_no is not None:
             # cross-round spacing for d > round_seconds: the per-round

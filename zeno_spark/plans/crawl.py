@@ -206,6 +206,9 @@ class CrawlJob:
         # optional user-supplied static cache; the effective gate input
         # is static ∪ table (_effective_robots).
         self.robots_tbl = self.catalog.table("robots", schemas.ROBOTS)
+        # host count of the static cache, counted once on first gate use
+        # (the live table's count is free catalog metadata every round)
+        self._static_robots_rows: int | None = None
         self.state_dir = os.path.join(warehouse, "_crawl_state")
         os.makedirs(self.state_dir, exist_ok=True)
 
@@ -435,8 +438,19 @@ class CrawlJob:
             # hosts not yet in the cache, BEFORE the gate reads it
             self._refresh_robots(gated)
         robots_cache = self._effective_robots()
+        # join-strategy decision for every robots-cache consumer this
+        # round: force-broadcast only while the cache's host count
+        # (catalog row-count metadata + a once-memoized static count)
+        # fits cfg.robots_broadcast_max_hosts — a wide crawl's cache
+        # grows with every host ever seen, and a 10^8-host broadcast
+        # of disallow arrays is a per-round executor OOM, not a plan
+        robots_bcast = self._robots_host_rows() <= cfg.robots_broadcast_max_hosts
         if cfg.robots and robots_cache is not None:
-            gated = apply_robots_gate(gated, robots_cache)
+            gated = apply_robots_gate(
+                gated, robots_cache,
+                broadcast=robots_bcast,
+                salt_buckets=max(1, cfg.host_salt_buckets),
+            )
         delays = (
             robots_cache
             if cfg.robots and cfg.respect_crawl_delay
@@ -445,7 +459,7 @@ class CrawlJob:
         )
         sched = politeness_schedule(
             gated, cfg, delays=delays, budgets=self._adaptive_budgets(),
-            round_no=round_no,
+            round_no=round_no, broadcast_delays=robots_bcast,
         ).cache()
 
         # NARROW fetch result (no payload bytes) — the ONLY cacheable
@@ -681,6 +695,17 @@ class CrawlJob:
             F.lit(round_no).cast("int").alias("round"),
         )
         return self.metadata.append(rows)
+
+    def _robots_host_rows(self) -> int:
+        """Host count of the effective robots cache, for the gate's
+        broadcast-vs-shuffle decision: the live table's count is free
+        manifest metadata; the static cache (tiny by construction — a
+        user-supplied table) is counted once and memoized."""
+        if self._static_robots_rows is None:
+            self._static_robots_rows = (
+                self.robots.count() if self.robots is not None else 0
+            )
+        return self._static_robots_rows + self.robots_tbl.row_count()
 
     def _effective_robots(self) -> DataFrame | None:
         """The gate's input: the user-supplied static cache (if any)
