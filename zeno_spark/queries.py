@@ -255,7 +255,12 @@ def q_pricing_summary_sql() -> str:
 
 
 def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join + aggregate + top-k, decimal-exact."""
+    """TPC-H Q3 shape: 3-way join + aggregate + top-k, decimal-exact.
+
+    No forced broadcast on the customer side: unlike nation/region it
+    SCALES with sf (a hint would ship GBs at warehouse scale), so the
+    planner's size threshold picks the strategy — broadcast at bench
+    sf, shuffle join when the filtered dim outgrows it."""
     cust = _t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -268,7 +273,7 @@ def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("o_orderkey")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
