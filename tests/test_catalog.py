@@ -91,6 +91,24 @@ def test_expire_snapshots_folds_history_and_sweeps_orphans(spark, tmp_path):
     assert sorted((r.k, r.v) for r in t.read().collect()) == rows_at_v
 
 
+def test_file_count_and_binpack_rewrite(spark, tmp_path):
+    """file_count() is free manifest metadata, and rewrite(read())
+    binpacks per-round small-file appends (the scan coalesces tiny
+    files into maxPartitionBytes splits) — CrawlJob.compact()'s
+    maintenance for the robots/metrics/metadata state tables, which
+    otherwise accrete one file batch per round forever."""
+    t = Catalog(spark, str(tmp_path)).table("t", SCHEMA)
+    for i in range(12):
+        t.append(spark.createDataFrame([(i, f"v{i}")], SCHEMA))
+    frag = t.file_count()
+    assert frag >= 12
+    before = sorted((r.k, r.v) for r in t.read().collect())
+    t.rewrite(t.read())
+    assert t.file_count() < frag
+    assert sorted((r.k, r.v) for r in t.read().collect()) == before
+    assert t.row_count() == len(before)
+
+
 # ---------------------------------------------------------------------------
 # bucketed layout (the seen table's storage-partitioned-join support)
 # ---------------------------------------------------------------------------

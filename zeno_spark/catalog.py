@@ -245,6 +245,13 @@ class SnapshotTable:
         self._bkt_registered = (token, tbl)
         return self.spark.table(tbl)
 
+    def file_count(self, version: int | None = None) -> int:
+        """Live data-file count from manifest metadata — no Spark job.
+        The compaction trigger: append-per-round state tables (robots,
+        metrics, metadata) accrete one tiny file batch per round, and a
+        scan pays per-file open cost forever unless somebody binpacks."""
+        return len(self._live_files(version))
+
     def row_count(self, version: int | None = None) -> int:
         """Exact row count from manifest metadata — no Spark job."""
         version = self.current_version() if version is None else version

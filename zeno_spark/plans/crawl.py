@@ -768,6 +768,22 @@ class CrawlJob:
         self.frontier.rewrite(live)
         self.claimed.truncate()
         live.unpersist()
+        # binpack the append-per-round state tables (Iceberg
+        # RewriteDataFiles' small-file binpacking): robots/metrics/
+        # metadata accrete one tiny file batch per round, and every
+        # scan pays per-file open cost — a years-long crawl's robots
+        # cache would be 10^5 files of a few rows each.  A plain
+        # rewrite(read()) IS the binpack: the scan coalesces small
+        # files into maxPartitionBytes-sized splits, so the rewrite
+        # emits ~size/128MB files regardless of input fragmentation.
+        # The trigger is free manifest metadata; `fetched` is excluded
+        # (payload-bearing files are already write-sized, and
+        # re-writing payload bytes every compaction cycle is exactly
+        # the payload-discipline violation the plan forbids).
+        for t in ("robots_tbl", "metrics", "metadata"):
+            tbl = getattr(self, t)
+            if tbl.file_count() > 64:
+                tbl.rewrite(tbl.read())
         for t in _TABLES:
             getattr(self, t).expire_snapshots(keep_last=16)
 
