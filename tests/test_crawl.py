@@ -253,6 +253,55 @@ def test_bloom_and_salt_change_nothing(spark, small_corpus, small_oracle, tmp_pa
     assert fetched == set(small_oracle.fetched)
 
 
+def test_robots_scale_path_crawl_identical(spark, small_corpus, tmp_path):
+    """run_round's join-strategy decision (cfg.robots_broadcast_max_hosts)
+    must be invisible to results: a crawl forced onto the scale path
+    (threshold 0 — salted shuffle gate join, no delays broadcast hint)
+    produces the identical fetched set, seen set, and round stats as the
+    default broadcast fast path, with a robots table carrying both a
+    disallow rule and a Crawl-delay so every consumer of the decision is
+    exercised."""
+    from pyspark.sql import Row
+
+    from zeno_spark import schemas as S
+
+    hosts = sorted(
+        r.host
+        for r in small_corpus["dfs"]["pages"].select("host").distinct().collect()
+    )
+    robots_df = spark.createDataFrame(
+        [Row(host=hosts[0], disallow_prefixes=["/img/"], crawl_delay=None),
+         Row(host=hosts[1], disallow_prefixes=[], crawl_delay=30.0)],
+        schema=S.ROBOTS,
+    )
+    runs = {}
+    for name, threshold in (("fast", 1_000_000), ("scale", 0)):
+        cfg = CrawlConfig(
+            max_hops=2, per_host_budget=8, max_rounds=8, compact_every=3,
+            host_salt_buckets=4, robots=True,
+            robots_broadcast_max_hosts=threshold,
+        )
+        job = CrawlJob(
+            spark, str(tmp_path / f"wh_rb_{name}"),
+            small_corpus["dfs"]["pages"], small_corpus["dfs"]["links"],
+            cfg, robots=robots_df,
+        )
+        stats = job.run(
+            seeds=small_corpus["dfs"]["seeds"], max_rounds=cfg.max_rounds
+        )
+        runs[name] = (
+            [s.__dict__ for s in stats],
+            {(r.url, r.round, r.status) for r in job.fetched.read().collect()},
+            {(r.url, r.type) for r in job.seen.read().collect()},
+        )
+    assert runs["fast"] == runs["scale"]
+    # the gate gated in both runs
+    blocked_prefix = f"http://{hosts[0]}/img/"
+    assert not any(
+        u.startswith(blocked_prefix) for (u, _, _) in runs["fast"][1]
+    )
+
+
 def test_payload_revisits_match_oracle(full_run, oracle_result):
     """D8: the sink's revisit rows (identical payload >= threshold seen
     before, in-table or earlier in batch) match the oracle exactly, and
