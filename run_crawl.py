@@ -63,6 +63,12 @@ def main() -> None:
                     help="within-host dequeue order (the reference's "
                          "--hq-strategy, cmd/get_hq.go:55)")
     ap.add_argument("--robots", action="store_true")
+    ap.add_argument("--robots-broadcast-max-hosts", type=int,
+                    default=1_000_000,
+                    help="force-broadcast the robots cache into the F10 "
+                         "gate only while its host count stays under "
+                         "this; above it the gate uses a salted shuffle "
+                         "join (0 = never force broadcast)")
     ap.add_argument("--live-robots", action="store_true",
                     help="with --live: fetch+parse each host's "
                          "/robots.txt through the transport (F10 live "
@@ -157,6 +163,7 @@ def main() -> None:
         bloom_prefilter=args.bloom,
         robots=args.robots or args.live_robots,
         live_robots=args.live_robots,
+        robots_broadcast_max_hosts=args.robots_broadcast_max_hosts,
         max_rounds=args.rounds,
         schedule_strategy=args.strategy,
         adaptive_politeness=args.adaptive_politeness,
