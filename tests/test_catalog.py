@@ -109,6 +109,74 @@ def test_file_count_and_binpack_rewrite(spark, tmp_path):
     assert t.row_count() == len(before)
 
 
+def test_compact_small_files_bounds_count_without_rewriting_large(
+    spark, tmp_path
+):
+    """The fetched table's manifest-level binpack (r3 verdict next-round
+    #4): sub-target files fold into ~target-sized merges, files already
+    >= target are RE-REFERENCED — same path, same bytes, same inode —
+    never rewritten.  Content and row_count are unchanged; rollback
+    across the compaction still works."""
+    import os
+
+    t = Catalog(spark, str(tmp_path)).table("t", SCHEMA)
+    # one "write-sized" file: a single append with an INCOMPRESSIBLE
+    # payload-ish column (hash-chain hex — constant text would snappy
+    # down below the size threshold and defeat the fixture)
+    import hashlib
+
+    def blob(i: int) -> str:
+        out = []
+        h = hashlib.sha256(str(i).encode())
+        for _ in range(32):
+            out.append(h.hexdigest())
+            h = hashlib.sha256(h.digest())
+        return "".join(out)
+
+    big = spark.createDataFrame(
+        [(10_000 + i, blob(i)) for i in range(200)], SCHEMA
+    ).coalesce(1)
+    t.append(big)
+    big_files = [f for f in t._live_files() if os.path.getsize(f) >= 100_000]
+    assert len(big_files) == 1
+    big_stat = os.stat(big_files[0])
+    # many per-round small appends
+    for i in range(12):
+        t.append(spark.createDataFrame([(i, f"v{i}")], SCHEMA).coalesce(1))
+    frag = t.file_count()
+    before = sorted((r.k, r.v) for r in t.read().collect())
+    v_before = t.current_version()
+
+    folded = t.compact_small_files(target_bytes=100_000)
+    assert folded == 12
+    assert t.file_count() < frag
+    # the large file is re-referenced byte-identically: same path, same
+    # inode, same mtime — its payload bytes were never opened
+    assert big_files[0] in t._live_files()
+    after_stat = os.stat(big_files[0])
+    assert (after_stat.st_ino, after_stat.st_mtime_ns) == (
+        big_stat.st_ino, big_stat.st_mtime_ns
+    )
+    assert sorted((r.k, r.v) for r in t.read().collect()) == before
+    assert t.row_count() == len(before)
+    # idempotent-ish: a second pass has at most the merged file to fold
+    assert t.compact_small_files(target_bytes=100_000) == 0
+    # time travel / rollback across the compaction
+    t.rollback_to(v_before)
+    assert sorted((r.k, r.v) for r in t.read().collect()) == before
+
+
+def test_compact_small_files_rejects_bucketed_tables(spark, tmp_path):
+    import pytest
+
+    t = Catalog(spark, str(tmp_path)).table(
+        "t", SEEN_LIKE, bucket_spec=(4, ("url_hash", "url"))
+    )
+    t.append(_rows(spark, 0, 10))
+    with pytest.raises(ValueError):
+        t.compact_small_files()
+
+
 # ---------------------------------------------------------------------------
 # bucketed layout (the seen table's storage-partitioned-join support)
 # ---------------------------------------------------------------------------
