@@ -46,6 +46,31 @@ def test_record_framing_roundtrip():
     assert body == payload
 
 
+def test_request_record_framing():
+    """Paired request records (crawl/crawl.go:101-119: the recording
+    client captures both sides of every exchange): GET line with path+
+    query, Host header, msgtype=request, WARC-Concurrent-To link."""
+    rec = W.request_record(
+        "http://h.example/p/1?a=2", 3,
+        {"User-Agent": "zeno-test/1.0", "Referer": "http://h.example/"},
+        concurrent_to="<urn:uuid:resp-id>",
+    )
+    [parsed] = list(W.parse_warc_stream(rec))
+    assert parsed["type"] == "request"
+    h = parsed["headers"]
+    assert h["WARC-Target-URI"] == "http://h.example/p/1?a=2"
+    assert h["WARC-Concurrent-To"] == "<urn:uuid:resp-id>"
+    assert h["Content-Type"] == "application/http;msgtype=request"
+    assert h["WARC-Block-Digest"] == (
+        "sha256:" + hashlib.sha256(parsed["block"]).hexdigest()
+    )
+    lines = parsed["block"].decode("utf-8").split("\r\n")
+    assert lines[0] == "GET /p/1?a=2 HTTP/1.1"
+    assert "Host: h.example" in lines
+    assert "User-Agent: zeno-test/1.0" in lines
+    assert "Referer: http://h.example/" in lines
+
+
 def test_crlf_header_values_cannot_break_framing():
     """A header value carrying CRLF (hostile caption, Location header)
     must not corrupt the inner HTTP framing: parse_http_block has to
@@ -174,8 +199,8 @@ def test_warc_spark_roundtrip(spark, crawl_fetched, tmp_path):
     out = str(tmp_path / "warcs")
     manifest = W.write_warc(crawl_fetched, out).collect()
     n_rows = crawl_fetched.count()
-    # one warcinfo per file + one record per row
-    assert sum(m.records for m in manifest) == n_rows + len(manifest)
+    # one warcinfo per file + a request/response PAIR per row
+    assert sum(m.records for m in manifest) == 2 * n_rows + len(manifest)
     assert sorted(m.warc_file for m in manifest) == sorted(
         glob.glob(os.path.join(out, "*.warc.gz")))
 
@@ -206,6 +231,50 @@ def test_warc_spark_roundtrip(spark, crawl_fetched, tmp_path):
             assert got.bytes is None  # revisit records carry no payload
         else:
             assert (got.bytes or None) == (row.bytes or None)
+
+
+def test_request_records_pair_with_responses(spark, crawl_fetched, tmp_path):
+    """Every response/revisit record in the export has exactly one
+    request record whose WARC-Concurrent-To names its record id, in the
+    same file, with a parseable GET block — the pairing CDX/replay
+    tooling expects (r3 verdict missing #1)."""
+    out = str(tmp_path / "warcs_req")
+    W.write_warc(crawl_fetched, out,
+                 request_headers={"User-Agent": "zeno-pair-test/1.0"}).collect()
+    n_resp = n_req = 0
+    for path in glob.glob(os.path.join(out, "*.warc.gz")):
+        resp_ids = set()
+        req_links = []
+        for rec in W.parse_warc_stream(open(path, "rb").read()):
+            if rec["type"] in ("response", "revisit"):
+                resp_ids.add(rec["headers"]["WARC-Record-ID"])
+            elif rec["type"] == "request":
+                req_links.append(rec["headers"])
+                lines = rec["block"].decode("utf-8").split("\r\n")
+                assert lines[0].startswith("GET ")
+                assert lines[0].endswith(" HTTP/1.1")
+                assert "User-Agent: zeno-pair-test/1.0" in lines
+        assert len(req_links) == len(resp_ids)
+        for h in req_links:
+            assert h["WARC-Concurrent-To"] in resp_ids
+        # ids are unique across the pairing
+        assert len({h["WARC-Record-ID"] for h in req_links}) == len(req_links)
+        n_resp += len(resp_ids)
+        n_req += len(req_links)
+    assert n_resp == crawl_fetched.count() and n_req == n_resp
+
+
+def test_write_warc_without_requests_keeps_legacy_layout(
+    spark, crawl_fetched, tmp_path
+):
+    out = str(tmp_path / "warcs_noreq")
+    manifest = W.write_warc(
+        crawl_fetched, out, include_requests=False).collect()
+    n_rows = crawl_fetched.count()
+    assert sum(m.records for m in manifest) == n_rows + len(manifest)
+    for path in glob.glob(os.path.join(out, "*.warc.gz")):
+        for rec in W.parse_warc_stream(open(path, "rb").read()):
+            assert rec["type"] != "request"
 
 
 def test_warc_payload_digest_matches_block(spark, crawl_fetched, tmp_path):

@@ -30,6 +30,12 @@ Record mapping (ISO 28500 / WARC 1.1, public spec):
       WARC-Profile: .../revisit/identical-payload-digest and no payload
       block, mirroring the reference's payload-dedupe revisit records
       (crawl/crawl.go:96-99).
+  per wire event             -> a paired WARC-Type: request record
+      carrying the synthesized (batch) or actually-sent (live) GET,
+      linked to its response via WARC-Concurrent-To — the reference's
+      recording client captures BOTH sides of every exchange
+      (crawl/crawl.go:101-119), and CDX/replay tooling expects the
+      pairs.
   per file                   -> a leading warcinfo record.
 
 Determinism: record ids are uuid5 of (url, round, digest) and
@@ -189,6 +195,51 @@ def http_block(
         lines.append(f"{_safe_header_value(k)}: {_safe_header_value(v)}")
     head = ("\r\n".join(lines) + "\r\n\r\n").encode("utf-8")
     return head + payload
+
+
+def http_request_block(url: str, headers: dict[str, str] | None) -> bytes:
+    """Synthesize the HTTP/1.1 GET the transport sent (batch export) or
+    frame the one it actually sent (live capture — the caller passes the
+    real UA/Referer from transport.py's request object)."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    path = parts.path or "/"
+    if parts.query:
+        path += "?" + parts.query
+    lines = [f"GET {_safe_header_value(path)} HTTP/1.1",
+             f"Host: {_safe_header_value(parts.netloc)}"]
+    for k, v in (headers or {}).items():
+        lines.append(f"{_safe_header_value(k)}: {_safe_header_value(v)}")
+    return ("\r\n".join(lines) + "\r\n\r\n").encode("utf-8")
+
+
+def request_record(
+    url: str,
+    round_no: int,
+    req_headers: dict[str, str] | None = None,
+    concurrent_to: str | None = None,
+    record_id: str | None = None,
+    warc_date: str | None = None,
+    digest_key: str | None = None,
+) -> bytes:
+    """WARC-Type: request paired to its response via WARC-Concurrent-To
+    (crawl/crawl.go:101-119 — the recording client captures request and
+    response sides of every exchange).  ``digest_key`` folds the
+    response's payload digest into the deterministic batch record id so
+    a URL re-fetched across rounds keeps id uniqueness, same derivation
+    as the response side."""
+    block = http_request_block(url, req_headers)
+    h = {
+        "WARC-Record-ID": record_id
+        or _record_id("request", url, round_no, digest_key),
+        "WARC-Date": warc_date or _warc_date(round_no),
+        "WARC-Target-URI": url,
+        "Content-Type": 'application/http;msgtype=request',
+    }
+    if concurrent_to:
+        h["WARC-Concurrent-To"] = concurrent_to
+    return build_record("request", h, block)
 
 
 def response_record(
@@ -378,7 +429,8 @@ _SINK_COLS = ["url", "status", "image_id", "bytes", "w", "h", "fmt",
               "caption", "phash", "round", "payload_digest", "revisit"]
 
 
-def _write_batches(out_dir: str, rotate_bytes: int):
+def _write_batches(out_dir: str, rotate_bytes: int,
+                   request_headers: dict[str, str] | None):
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
@@ -413,12 +465,26 @@ def _write_batches(out_dir: str, rotate_bytes: int):
                             encode_header_value(str(v))
                         )
                 digest = val("payload_digest", i)
-                if val("revisit", i):
+                revisit = val("revisit", i)
+                if revisit:
                     rec = revisit_record(url, round_no, status, ct, digest, xh)
                 else:
                     payload = val("bytes", i) or b""
                     rec = response_record(
                         url, round_no, status, ct, payload, digest, xh)
+                if request_headers is not None:
+                    # paired request record FIRST (reader convention),
+                    # linked by WARC-Concurrent-To to the response id —
+                    # which must be derived exactly as the response/
+                    # revisit constructor derives it
+                    resp_id = _record_id(
+                        "revisit" if revisit else "response",
+                        url, round_no, digest,
+                    )
+                    writer.add(request_record(
+                        url, round_no, request_headers,
+                        concurrent_to=resp_id, digest_key=digest,
+                    ))
                 writer.add(rec)
         # no worker-side publish: the driver's job commit (write_warc)
         # renames only the WINNING attempts' files — a dead attempt's
@@ -437,11 +503,17 @@ def _write_batches(out_dir: str, rotate_bytes: int):
 
 
 def write_warc(
-    fetched: DataFrame, out_dir: str, rotate_bytes: int = 1 << 30
+    fetched: DataFrame, out_dir: str, rotate_bytes: int = 1 << 30,
+    include_requests: bool = True,
+    request_headers: dict[str, str] | None = None,
 ) -> DataFrame:
     """Export fetched-table rows to .warc.gz, one file-series per
     partition (distributed, no shuffle: the payload column flows
-    parquet scan -> worker -> gzip stream).  Runs EAGERLY as a
+    parquet scan -> worker -> gzip stream).  Each row emits a paired
+    ``request`` + ``response``/``revisit`` record (WARC-Concurrent-To
+    linked) unless ``include_requests=False``; ``request_headers``
+    defaults to this crawler's User-Agent — pass the configured UA for
+    byte-faithful reconstruction.  Runs EAGERLY as a
     two-phase job commit (FileOutputCommitter discipline): workers
     stream every file under a ``.open`` staging name; the driver then
     renames exactly the files named by the winning attempts' manifests
@@ -471,8 +543,13 @@ def write_warc(
         for c in _SINK_COLS
     ]
     narrowed = fetched.select(*cols)
+    req_headers = (
+        ({"User-Agent": _SOFTWARE} if request_headers is None
+         else dict(request_headers))
+        if include_requests else None
+    )
     manifest = narrowed.mapInArrow(
-        _write_batches(out_dir, rotate_bytes), schema=MANIFEST
+        _write_batches(out_dir, rotate_bytes, req_headers), schema=MANIFEST
     ).collect()
     missing = [
         r.warc_file for r in manifest
@@ -507,7 +584,9 @@ def _parse_file_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Record
             fname = path.split("/")[-1]
             for rec in parse_warc_stream(content):
                 rtype = rec["type"]
-                if rtype == "warcinfo":
+                # request records pair with their response for replay
+                # tooling; the fetched-row shape is response-side only
+                if rtype in ("warcinfo", "request"):
                     continue
                 status, hh, body = parse_http_block(rec["block"])
                 digest = rec["headers"].get("WARC-Payload-Digest", "")
