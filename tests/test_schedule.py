@@ -107,6 +107,52 @@ def test_retry_rows(spark):
     assert r.not_before_round == 7  # 5+1 + retry(1)*1
 
 
+def test_retry_after_maps_to_not_before_round(spark):
+    """O5 extension (cfg.honor_retry_after): a 429 carrying a parsed
+    Retry-After overrides the linear backoff with ceil(seconds /
+    round_seconds_estimate) rounds; rows without the header keep the
+    linear mapping, and with the flag OFF (reference-parity default)
+    the header is ignored entirely."""
+    from pyspark.sql import functions as F
+
+    items = [
+        _item("http://h.com/ra", "h.com", 0, retry=0),
+        _item("http://h.com/plain", "h.com", 1, retry=0),
+    ]
+    f = _frontier(spark, items).withColumn(
+        "retry_after",
+        F.when(F.col("url").endswith("/ra"), F.lit(150.0)),
+    )
+    cfg_on = CrawlConfig(max_retry=3, retry_backoff_rounds=1,
+                         honor_retry_after=True, round_seconds_estimate=60.0)
+    rows = {r.url: r for r in backoff_retry_rows(f, round_no=5, cfg=cfg_on).collect()}
+    # ceil(150/60)=3 rounds for the header row; linear 1 for the other
+    assert rows["http://h.com/ra"].not_before_round == 5 + 1 + 3
+    assert rows["http://h.com/plain"].not_before_round == 5 + 1 + 1
+    cfg_off = CrawlConfig(max_retry=3, retry_backoff_rounds=1)
+    rows = {r.url: r for r in backoff_retry_rows(f, round_no=5, cfg=cfg_off).collect()}
+    assert rows["http://h.com/ra"].not_before_round == 5 + 1 + 1
+
+
+def test_retry_after_header_parsing():
+    """RFC 9110 Retry-After forms: delta-seconds, HTTP-date, hostile."""
+    from datetime import datetime, timezone
+
+    from zeno_spark.operators.transport import retry_after_seconds
+
+    assert retry_after_seconds("120") == 120.0
+    assert retry_after_seconds(" 0 ") == 0.0
+    now = datetime(2026, 2, 1, 12, 0, 0, tzinfo=timezone.utc)
+    assert retry_after_seconds(
+        "Sun, 01 Feb 2026 12:05:00 GMT", _now=now) == 300.0
+    # a date already passed clamps to 0
+    assert retry_after_seconds(
+        "Sun, 01 Feb 2026 11:00:00 GMT", _now=now) == 0.0
+    assert retry_after_seconds("soon") is None
+    assert retry_after_seconds("") is None
+    assert retry_after_seconds(None) is None
+
+
 def test_long_crawl_delay_gates_across_rounds(spark):
     """A Crawl-delay LONGER than a round (floor(round_seconds/d)=0)
     must not be fetched every round at the budget floor of 1: with

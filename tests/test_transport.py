@@ -468,6 +468,32 @@ def test_live_warc_capture_matches_corpus(spark, corpus, live_run):
         assert want.get(url) == body, url
 
 
+def test_live_warc_requests_paired(spark, corpus, live_run):
+    """The live capture records BOTH sides of every exchange
+    (crawl/crawl.go:101-119): one request record per response, linked by
+    WARC-Concurrent-To, carrying the UA (and Referer when the fetch had
+    a parent) that one_get actually sent."""
+    _job, _stats, warc_dir = live_run
+    n_req = n_resp = 0
+    for path in glob.glob(f"{warc_dir}/*.warc.gz"):
+        resp_ids = set()
+        reqs = []
+        for rec in W.parse_warc_stream(open(path, "rb").read()):
+            if rec["type"] == "response":
+                resp_ids.add(rec["headers"]["WARC-Record-ID"])
+            elif rec["type"] == "request":
+                reqs.append(rec)
+        assert len(reqs) == len(resp_ids)
+        for rec in reqs:
+            assert rec["headers"]["WARC-Concurrent-To"] in resp_ids
+            lines = rec["block"].decode("utf-8").split("\r\n")
+            assert lines[0].startswith("GET ")
+            assert any(ln.startswith("User-Agent: ") for ln in lines)
+        n_req += len(reqs)
+        n_resp += len(resp_ids)
+    assert n_req == n_resp > 0
+
+
 def test_resumed_crawl_does_not_refetch_robots(spark, corpus, cfg, tmp_path):
     """The live-robots cache is a catalog table committed under the
     round marker: a RESUMED crawl (new CrawlJob, same warehouse) must

@@ -43,6 +43,24 @@ class CrawlConfig:
                                                # and the planner's own size
                                                # estimate picks the strategy.
                                                # 0 = never force broadcast
+    robots_salt_buckets: int = 4               # F10 scale-path salt, DEDICATED
+                                               # (smaller than host_salt_buckets
+                                               # on purpose): the salted robots
+                                               # join explodes the rules side —
+                                               # disallow arrays duplicated once
+                                               # per salt — so rules-side shuffle
+                                               # rows/bytes scale LINEARLY with
+                                               # this factor.  Cost bound: a
+                                               # 10^8-host cache at ~1 KB/host of
+                                               # rules shuffles ~100 GB x salt;
+                                               # 4 caps that at ~400 GB across
+                                               # the cluster (~400 MB/executor at
+                                               # 1000 executors) while still
+                                               # splitting a hot host's frontier
+                                               # rows 4 ways.  The politeness
+                                               # window's own salted phase (with
+                                               # the bigger host_salt_buckets)
+                                               # remains the primary skew kill.
 
     # fetch routing (X4, capture.go:60-64, crawl/crawl.go:134-148)
     proxy: str | None = None                   # proxied client when set
@@ -51,6 +69,16 @@ class CrawlConfig:
     # retry / politeness (SURVEY §2.4)
     max_retry: int = 5                         # O5 (cmd/get.go:45)
     retry_backoff_rounds: int = 1              # O5: linear backoff, rounds not seconds
+    honor_retry_after: bool = False            # O5 extension: map a 429's
+                                               # Retry-After header (live
+                                               # transport parses it to
+                                               # seconds) onto not_before_round
+                                               # instead of the linear backoff.
+                                               # Default OFF: reference parity
+                                               # is strictly linear
+                                               # (capture.go:84-114)
+    round_seconds_estimate: float = 60.0       # seconds-per-round used to map
+                                               # Retry-After seconds to rounds
     per_host_budget: int = 16                  # O4 (--max-concurrent-per-domain default,
                                                # cmd/get.go:53; enforced here, dead code there)
     host_salt_buckets: int = 1                 # >1 splits a hot host into salted
@@ -122,6 +150,28 @@ class CrawlConfig:
     disk_check_interval_sec: float = 1.0       # O7 re-probe cadence while paused
     compact_every: int = 8                     # fold claimed-deletes into frontier
                                                # (Iceberg compaction stand-in)
+    compact_file_trigger: int = 64             # live-file count above which a
+                                               # state table is binpacked at
+                                               # the next compaction cycle
+    fetched_target_file_bytes: int = 128 << 20 # small-file threshold of the
+                                               # fetched table's manifest-level
+                                               # binpack: payload files >= this
+                                               # are only ever RE-REFERENCED by
+                                               # new manifests, never rewritten
+                                               # (catalog.compact_small_files)
+
+    # observability (internal/pkg/log analogue; operators/logfile.py)
+    structured_log: bool = True                # per-round JSONL records under
+                                               # <warehouse>/_logs/crawl.jsonl:
+                                               # round_start/round_end with the
+                                               # counter block + per-stage
+                                               # driver wall timings, lifecycle
+                                               # events (seed, recover,
+                                               # compact).  Driver-side only —
+                                               # per-task telemetry stays in
+                                               # Spark's own event log.
+    log_max_bytes: int = 16 * 1024 * 1024      # size-rotation threshold
+    log_keep: int = 4                          # rotated backups retained
 
     def with_default_exclusions(self) -> "CrawlConfig":
         """The reference always appends archive.org/archive-it.org

@@ -86,6 +86,10 @@ FETCH_META = T.StructType(
         T.StructField("payload_size", T.LongType(), True),
         T.StructField("outlinks", T.ArrayType(T.StringType()), True),
         T.StructField("assets", T.ArrayType(T.StringType()), True),
+        # a 429's Retry-After header, parsed to seconds by the live
+        # transport (null elsewhere); backoff_retry_rows maps it onto
+        # not_before_round when cfg.honor_retry_after is set
+        T.StructField("retry_after", T.DoubleType(), True),
     ]
 )
 
@@ -280,6 +284,7 @@ def fetch_meta(
         .cast("long").alias("payload_size"),
         F.col("__outlinks").alias("outlinks"),
         F.col("__assets").alias("assets"),
+        F.col("__retry_after").alias("retry_after"),
         F.col("__bytes"),
         F.col("__adv_phash"),
         _proxy_col(cfg).alias("__proxy"),
@@ -315,6 +320,7 @@ def fetch_meta(
         F.lit(None).cast("long").alias("payload_size"),
         F.lit(None).cast("array<string>").alias("outlinks"),
         F.lit(None).cast("array<string>").alias("assets"),
+        F.lit(None).cast("double").alias("retry_after"),
     )
     return verified.unionByName(missing_rows)
 

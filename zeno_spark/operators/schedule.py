@@ -188,13 +188,28 @@ def backoff_retry_rows(failed: DataFrame, round_no: int, cfg: CrawlConfig) -> Da
     """O5 — 429 rows re-enter the frontier with retry+1 and a linear
     backoff (`retry*2s` sleep in the reference, capture.go:84-114, mapped
     to `retry * retry_backoff_rounds` rounds).  Retries bypass the
-    seencheck (capture.go:319-330 sets BypassSeencheck on sendback)."""
+    seencheck (capture.go:319-330 sets BypassSeencheck on sendback).
+
+    ``cfg.honor_retry_after``: a 429 carrying a server Retry-After
+    (parsed to seconds by the live transport, FETCH_META.retry_after)
+    overrides the linear backoff with ceil(seconds /
+    cfg.round_seconds_estimate) rounds — OFF by default because the
+    reference's backoff is strictly linear (capture.go:84-114) and
+    matching it is the parity contract."""
+    backoff = F.col("retry") * F.lit(cfg.retry_backoff_rounds)
+    if cfg.honor_retry_after and "retry_after" in failed.columns:
+        backoff = F.when(
+            F.col("retry_after").isNotNull(),
+            F.greatest(
+                F.lit(1),
+                F.ceil(
+                    F.col("retry_after") / F.lit(cfg.round_seconds_estimate)
+                ),
+            ).cast("long"),
+        ).otherwise(backoff)
     return (
         failed.filter(F.col("retry") + 1 <= F.lit(cfg.max_retry))
         .withColumn("retry", F.col("retry") + 1)
         .withColumn("bypass_seencheck", F.lit(True))
-        .withColumn(
-            "not_before_round",
-            F.lit(round_no + 1) + F.col("retry") * F.lit(cfg.retry_backoff_rounds),
-        )
+        .withColumn("not_before_round", F.lit(round_no + 1) + backoff)
     )

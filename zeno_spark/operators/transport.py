@@ -75,6 +75,8 @@ RESPONSES = T.StructType(
         T.StructField("__adv_phash", T.StringType(), True),
         T.StructField("__outlinks", T.ArrayType(T.StringType()), True),
         T.StructField("__assets", T.ArrayType(T.StringType()), True),
+        # 429 Retry-After header parsed to seconds (live transport only)
+        T.StructField("__retry_after", T.DoubleType(), True),
     ]
 )
 
@@ -111,7 +113,30 @@ class OriginTableTransport:
             .drop("__page_url")
             .withColumn("__outlinks", F.lit(None).cast("array<string>"))
             .withColumn("__assets", F.lit(None).cast("array<string>"))
+            .withColumn("__retry_after", F.lit(None).cast("double"))
         )
+
+
+def retry_after_seconds(v, _now=None):
+    """Parse a 429's Retry-After header value to seconds (RFC 9110
+    §10.2.3: delta-seconds or an HTTP-date).  Hostile/malformed values
+    parse to None rather than crash the fetch task; negative results
+    clamp to 0 (the date already passed)."""
+    if not v:
+        return None
+    try:
+        return max(0.0, float(int(v.strip())))
+    except (ValueError, TypeError, AttributeError):
+        pass
+    try:
+        from datetime import datetime, timezone
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(v)
+        now = _now or datetime.now(timezone.utc)
+        return max(0.0, (dt - now).total_seconds())
+    except Exception:
+        return None
 
 
 STATUS_OVERSIZE = 598  # nonstandard sentinel: body exceeded the size cap
@@ -246,6 +271,10 @@ def _http_worker(proxy, bypass, timeout, max_retries, retry_sleep,
                     else None
                 )
                 out["__page_status"].append(status)
+                out["__retry_after"].append(
+                    retry_after_seconds(hh.get("retry-after"))
+                    if status == 429 else None
+                )
                 out["__bytes"].append(body if is_ok else None)
                 # the verify worker int()s this sidecar: pass it through
                 # only when it parses (same guard as the phash column)
@@ -291,13 +320,30 @@ def _http_worker(proxy, bypass, timeout, max_retries, retry_sleep,
                     # timestamp; determinism is a batch-sink property,
                     # not a live-wire one
                     rec_seq = getattr(writer, "_live_seq", 0)
-                    writer._live_seq = rec_seq + 1
+                    writer._live_seq = rec_seq + 2
                     rid = "<urn:uuid:%s>" % _uuid.uuid5(
                         _uuid.NAMESPACE_URL,
                         f"live|{writer.prefix}|{rec_seq}|{url}",
                     )
+                    req_id = "<urn:uuid:%s>" % _uuid.uuid5(
+                        _uuid.NAMESPACE_URL,
+                        f"live|{writer.prefix}|{rec_seq + 1}|{url}",
+                    )
                     now = datetime.now(timezone.utc).strftime(
                         "%Y-%m-%dT%H:%M:%SZ"
+                    )
+                    # request side of the exchange, with the headers
+                    # one_get ACTUALLY sent (UA + optional Referer) —
+                    # the reference's recording client captures both
+                    # sides (crawl/crawl.go:101-119)
+                    sent = {"User-Agent": user_agent}
+                    if parents[i]:
+                        sent["Referer"] = parents[i]
+                    writer.add(
+                        W.request_record(
+                            url, 0, sent, concurrent_to=rid,
+                            record_id=req_id, warc_date=now,
+                        )
                     )
                     writer.add(
                         W.response_record(
@@ -330,6 +376,7 @@ def _pa_type(name: str):
         "bigint": pa.int64(),
         "binary": pa.binary(),
         "boolean": pa.bool_(),
+        "double": pa.float64(),
         "array<string>": pa.list_(pa.string()),
     }[dt.simpleString()]
 
