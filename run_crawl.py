@@ -69,6 +69,11 @@ def main() -> None:
                          "gate only while its host count stays under "
                          "this; above it the gate uses a salted shuffle "
                          "join (0 = never force broadcast)")
+    ap.add_argument("--robots-salt-buckets", type=int, default=4,
+                    help="salt factor of the F10 scale-path shuffle join; "
+                         "rules-side shuffle bytes scale linearly with it "
+                         "(cost bound in config.py), so it is deliberately "
+                         "smaller than --salt-buckets")
     ap.add_argument("--live-robots", action="store_true",
                     help="with --live: fetch+parse each host's "
                          "/robots.txt through the transport (F10 live "
@@ -164,6 +169,7 @@ def main() -> None:
         robots=args.robots or args.live_robots,
         live_robots=args.live_robots,
         robots_broadcast_max_hosts=args.robots_broadcast_max_hosts,
+        robots_salt_buckets=args.robots_salt_buckets,
         max_rounds=args.rounds,
         schedule_strategy=args.strategy,
         adaptive_politeness=args.adaptive_politeness,
@@ -199,7 +205,15 @@ def main() -> None:
     if args.warc_out:
         from zeno_spark.operators.warc import write_warc
 
-        manifest = write_warc(job.fetched.read(), args.warc_out).collect()
+        # reconstruct request records with the UA the crawl actually
+        # sent (live transport) rather than the module default
+        manifest = write_warc(
+            job.fetched.read(), args.warc_out,
+            request_headers=(
+                {"User-Agent": transport.user_agent}
+                if transport is not None else None
+            ),
+        ).collect()
         print(json.dumps({
             "warc_files": len(manifest),
             "warc_records": sum(m.records for m in manifest),

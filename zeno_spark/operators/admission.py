@@ -124,7 +124,12 @@ def apply_robots_gate(
         explodes one row per (host, salt), still tiny relative to the
         frontier, so a shuffle join spreads a hot host's candidate rows
         across ``salt_buckets`` partitions instead of re-creating the
-        skew the politeness window's salted phase exists to kill."""
+        skew the politeness window's salted phase exists to kill.
+        COST BOUND: the explode duplicates each host's disallow array
+        once per salt, so rules-side shuffle bytes scale linearly with
+        ``salt_buckets`` — callers pass the dedicated (small)
+        cfg.robots_salt_buckets, not the politeness window's larger
+        host_salt_buckets (sizing analysis in config.py)."""
     rules = robots.groupBy(F.col("host").alias("r_host")).agg(
         F.array_distinct(
             F.flatten(F.collect_list("disallow_prefixes"))

@@ -52,6 +52,7 @@ from zeno_spark.operators.fetch import (
     split_results,
     to_fetched_rows,
 )
+from zeno_spark.operators.logfile import RoundLogger, StageTimer
 from zeno_spark.operators.schedule import (
     backoff_retry_rows,
     politeness_schedule,
@@ -211,6 +212,21 @@ class CrawlJob:
         self._static_robots_rows: int | None = None
         self.state_dir = os.path.join(warehouse, "_crawl_state")
         os.makedirs(self.state_dir, exist_ok=True)
+        # structured per-round log (internal/pkg/log/log.go + rotate.go
+        # analogue — operators/logfile.py); driver-side JSONL, rotated
+        self.logger = (
+            RoundLogger(
+                os.path.join(warehouse, "_logs", "crawl.jsonl"),
+                max_bytes=cfg.log_max_bytes,
+                keep=cfg.log_keep,
+            )
+            if cfg.structured_log
+            else None
+        )
+
+    def _log(self, event: str, **fields) -> None:
+        if self.logger is not None:
+            self.logger.log(event, **fields)
 
     # ------------------------------------------------------------------
     # checkpoint / resume (O11/O12)
@@ -318,6 +334,7 @@ class CrawlJob:
         )
         new.unpersist()
         self._write_marker("seeded.json", {"versions": self._versions(), "seeds": n})
+        self._log("seeded", urls=n)
         return n
 
     # ------------------------------------------------------------------
@@ -430,26 +447,36 @@ class CrawlJob:
 
     def run_round(self, round_no: int) -> RoundStats:
         cfg = self.cfg
+        timer = StageTimer()
+        self._log("round_start", round=round_no)
         pending = self.pending_frontier()
         eligible = schedulable(pending, round_no)
         gated = apply_admission(eligible, cfg)
         if cfg.robots and cfg.live_robots and self.transport is not None:
             # F10 live tier: fetch robots.txt through the transport for
             # hosts not yet in the cache, BEFORE the gate reads it
-            self._refresh_robots(gated)
+            with timer.stage("robots"):
+                self._refresh_robots(gated)
         robots_cache = self._effective_robots()
         # join-strategy decision for every robots-cache consumer this
         # round: force-broadcast only while the cache's host count
         # (catalog row-count metadata + a once-memoized static count)
         # fits cfg.robots_broadcast_max_hosts — a wide crawl's cache
         # grows with every host ever seen, and a 10^8-host broadcast
-        # of disallow arrays is a per-round executor OOM, not a plan
-        robots_bcast = self._robots_host_rows() <= cfg.robots_broadcast_max_hosts
+        # of disallow arrays is a per-round executor OOM, not a plan.
+        # Strict `> 0` honors the documented `0 = never force broadcast`
+        # sentinel, and the decision (plus its one-time memoized static
+        # count job) only runs when a robots consumer exists this round.
+        robots_bcast = True
         if cfg.robots and robots_cache is not None:
+            robots_bcast = (
+                cfg.robots_broadcast_max_hosts > 0
+                and self._robots_host_rows() <= cfg.robots_broadcast_max_hosts
+            )
             gated = apply_robots_gate(
                 gated, robots_cache,
                 broadcast=robots_bcast,
-                salt_buckets=max(1, cfg.host_salt_buckets),
+                salt_buckets=max(1, cfg.robots_salt_buckets),
             )
         delays = (
             robots_cache
@@ -475,7 +502,8 @@ class CrawlJob:
         # COLD cache each recomputes the same partitions (cache writes
         # dedupe, compute does not).  One count() => decode runs exactly
         # once per round; everything downstream reads the warm cache.
-        results.count()
+        with timer.stage("fetch"):
+            results.count()
         ok, redirects, retryable, _dead = split_results(results)
         # D8: payload dedupe on the sink path only — the extract path
         # reads `ok` untouched (revisit marking never changes routing)
@@ -611,7 +639,7 @@ class CrawlJob:
         # the warm narrow `results` cache, so they overlap: the sink is
         # scan->write IO-shaped, extract is CPU-shaped — concurrent
         # submission hides one behind the other at >1 task slot
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        with timer.stage("sink_commit"), ThreadPoolExecutor(max_workers=2) as pool:
             fa = pool.submit(self.fetched.append, fetched_rows)
             sa = pool.submit(
                 self.seen.append,
@@ -621,7 +649,7 @@ class CrawlJob:
             )
             fa.result()
             sa.result()
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        with timer.stage("state_commit"), ThreadPoolExecutor(max_workers=4) as pool:
             futs = [
                 pool.submit(self.frontier.append, new.unionByName(retries)),
                 pool.submit(
@@ -649,14 +677,16 @@ class CrawlJob:
                 f.result()
         # round totals from the (cached) per-host lineage — one small agg
         # instead of a count() job per intermediate
-        totals = metric_rows.groupBy().agg(
-            *[F.sum(k).alias(k) for k in kinds]
-        ).collect()[0]
+        with timer.stage("totals"):
+            totals = metric_rows.groupBy().agg(
+                *[F.sum(k).alias(k) for k in kinds]
+            ).collect()[0]
 
         # compaction (inside the round's commit scope: a crash before the
         # marker rolls the rewrite back with everything else)
         if cfg.compact_every and (round_no + 1) % cfg.compact_every == 0:
-            self.compact()
+            with timer.stage("compact"):
+                self.compact()
 
         stats = RoundStats(
             round_no,
@@ -667,6 +697,7 @@ class CrawlJob:
             totals["retries"] or 0,
         )
         self._commit_round(round_no, stats)
+        self._log("round_end", **stats.__dict__, **timer.timings)
 
         sched.unpersist()
         results.unpersist()
@@ -777,13 +808,22 @@ class CrawlJob:
         # files into maxPartitionBytes-sized splits, so the rewrite
         # emits ~size/128MB files regardless of input fragmentation.
         # The trigger is free manifest metadata; `fetched` is excluded
-        # (payload-bearing files are already write-sized, and
-        # re-writing payload bytes every compaction cycle is exactly
-        # the payload-discipline violation the plan forbids).
+        # from THIS path (re-writing payload bytes every compaction
+        # cycle is exactly the payload-discipline violation the plan
+        # forbids) and handled below with the size-filtered binpack.
         for t in ("robots_tbl", "metrics", "metadata"):
             tbl = getattr(self, t)
-            if tbl.file_count() > 64:
+            if tbl.file_count() > self.cfg.compact_file_trigger:
                 tbl.rewrite(tbl.read())
+        # `fetched` grows one file batch per round forever; bound its
+        # live file count with the manifest-level small-file merge:
+        # write-sized payload files are re-referenced (metadata only,
+        # bytes untouched), only the sub-target tail streams through a
+        # narrow scan->write (catalog.compact_small_files docstring)
+        if self.fetched.file_count() > self.cfg.compact_file_trigger:
+            self.fetched.compact_small_files(
+                target_bytes=self.cfg.fetched_target_file_bytes
+            )
         for t in _TABLES:
             getattr(self, t).expire_snapshots(keep_last=16)
 
@@ -804,6 +844,7 @@ class CrawlJob:
             # row is claimed; new ∪ retries are the only appends), so the
             # O10 emptiness probe costs zero extra Spark jobs per round.
             pending = self.pending_frontier().count()
+            self._log("resumed", next_round=start, pending=pending)
         max_rounds = max_rounds or self.cfg.max_rounds
         out: list[RoundStats] = []
         t_start = self._clock()
@@ -824,6 +865,10 @@ class CrawlJob:
                 and self._disk_free(self.catalog.warehouse)
                 < self.cfg.min_disk_space_bytes
             ):
+                self._log(
+                    "disk_pause", level="warn", round=r,
+                    free_bytes=self._disk_free(self.catalog.warehouse),
+                )
                 self._sleep(self.cfg.disk_check_interval_sec)
             stats = self.run_round(r)
             out.append(stats)
@@ -832,8 +877,13 @@ class CrawlJob:
             # reference os.Exit(1)s; the batch analogue raises after the
             # round's atomic commit, leaving a resumable checkpoint)
             if limit is not None and self._clock() - t_start >= limit * 1.1:
+                self._log("hard_time_limit", level="error", round=r)
                 raise TimeoutError(
                     f"crawl exceeded hard time limit ({limit}s * 1.1); "
                     f"resume from round {r + 1}"
                 )
+        self._log(
+            "crawl_finished", rounds=len(out),
+            wall_sec=round(self._clock() - t_start, 3),
+        )
         return out
