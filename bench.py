@@ -55,8 +55,19 @@ CRAWL_ROUNDS = int(os.environ.get("ZENO_BENCH_ROUNDS", "2"))
 SEED_FRAC = int(os.environ.get("ZENO_BENCH_SEED_FRAC", "2"))
 # scaling legs per parallelism level; per-leg BEST is reported because
 # hypervisor contention is one-sided noise (it can only slow a leg) —
-# measured same-config 4-core legs swing ±25% run to run on this box
-SCALING_REPS = int(os.environ.get("ZENO_BENCH_SCALING_REPS", "2"))
+# measured same-config 4-core legs swing ±25% run to run on this box.
+# r3 post-mortem: every driver-run 4-core leg sat 757-978 pages/s while
+# six manual same-plan runs hit 1054-1225 (BASELINE.md) — the driver
+# window is contended, so the artifact of record buys one more
+# symmetric draw (3 vs 2) plus the spin-probe settle gate below.
+SCALING_REPS = int(os.environ.get("ZENO_BENCH_SCALING_REPS", "3"))
+# contract query loop parallelism: the host exposes 32 hyperthread
+# slots but ~12.5 effective cores (BASELINE.md probe); running the
+# shuffle-heavy query slots at 32 oversubscribed slots read 2-3x their
+# 16-core numbers (r3 verdict "what's wrong" #2), destroying the
+# cross-round regression signal.  The crawl scaling legs keep their own
+# explicit core counts; only the per-query block is capped.
+QUERY_CORES = int(os.environ.get("ZENO_BENCH_QUERY_CORES", "12"))
 # bench-corpus image sizes: production-like (96-256 px), not the test
 # fixtures' 16-64 px thumbnails — the decode+digest-verify compute per
 # fetched page must be realistic for the scaling pair to measure the
@@ -274,6 +285,38 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _spin_probe(duration: float = 0.3) -> float:
+    """Single-thread arithmetic throughput (iterations/sec) — a direct
+    'how much silicon does one thread get RIGHT NOW' measurement.  On a
+    shared hypervisor this is the contention signal: a depressed rate
+    means a timed leg launched now under-measures the plan.  Pure
+    fixed-work float loop, so rates are comparable within a run."""
+    t0 = time.perf_counter()
+    n = 0
+    x = 1.0
+    while time.perf_counter() - t0 < duration:
+        for _ in range(10000):
+            x = x * 1.0000001 + 1.0
+        n += 10000
+    return n / (time.perf_counter() - t0)
+
+
+def _settle(best_rate: float, max_wait: float = 60.0) -> tuple[float, float]:
+    """Bounded settle gate before each scaling leg: re-probe until the
+    spin rate recovers to >=85% of the best rate seen this run (or the
+    wait budget runs out — a persistently contended window is recorded,
+    not hidden).  Returns (final spin rate, 1-min loadavg) so every leg
+    in the artifact carries its own contention evidence (r3 verdict
+    next-round item #1: 'record the per-leg draws + a contention
+    probe')."""
+    t0 = time.time()
+    rate = _spin_probe()
+    while best_rate and rate < 0.85 * best_rate and time.time() - t0 < max_wait:
+        time.sleep(5)
+        rate = _spin_probe()
+    return rate, round(os.getloadavg()[0], 2)
+
+
 def _crawl_in_subprocess(cores: int, sf: float) -> dict:
     """One scaling-pair measurement = one fresh OS process (cold JVM,
     own Python driver).  Two reasons: (a) methodology — the two
@@ -325,17 +368,31 @@ def main() -> None:
         [sys.executable, os.path.abspath(__file__), "--build-corpus", str(sf)],
         check=True,
     )
+    # flush the corpus build's dirty pages before the first timed leg —
+    # background writeback otherwise steals IO/CPU from it
+    os.sync()
+    best_rate = 0.0
+
+    def _timed_leg(cores: int) -> dict:
+        nonlocal best_rate
+        rate, load1 = _settle(best_rate)
+        best_rate = max(best_rate, rate)
+        leg = _crawl_in_subprocess(cores, sf)
+        leg["probe_spin_per_sec"] = round(rate)
+        leg["probe_load1"] = load1
+        return leg
+
     reps: dict[int, list[dict]] = {low_n: [], high_n: []}
     for _ in range(SCALING_REPS):
         for cores in (low_n, high_n):
-            reps[cores].append(_crawl_in_subprocess(cores, sf))
+            reps[cores].append(_timed_leg(cores))
             time.sleep(10)  # let page-cache writeback settle between legs
     # one extra HI rep: measured same-config hi legs swing up to ~2x on
     # this shared hypervisor (one-sided noise) and the hi leg is ~1/4
     # the cost of a lo leg — the reported ratio's binding constraint is
     # an unlucky hi sample, so buy one more draw where it's cheap
     for _ in range(int(os.environ.get("ZENO_BENCH_HI_EXTRA", "2"))):
-        reps[high_n].append(_crawl_in_subprocess(high_n, sf))
+        reps[high_n].append(_timed_leg(high_n))
     def _pair_best():
         low = max(reps[low_n], key=lambda r: r["fetched_pages_per_sec"])
         crawl = max(reps[high_n], key=lambda r: r["fetched_pages_per_sec"])
@@ -358,10 +415,12 @@ def main() -> None:
         if efficiency >= 0.8:
             break
         for cores in (low_n, high_n):
-            reps[cores].append(_crawl_in_subprocess(cores, sf))
+            reps[cores].append(_timed_leg(cores))
             time.sleep(10)
         low, crawl, efficiency = _pair_best()
-    spark = get_spark("zeno_bench_q", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    q_cores = min(CPUS, QUERY_CORES)
+    spark = get_spark("zeno_bench_q", cores=q_cores,
+                      shuffle_partitions=max(q_cores, 8))
     queries = bench_queries(spark, SF_DIR)
     spark.stop()
     total = time.time() - t0
@@ -372,6 +431,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "cpus": CPUS,
+        "query_cores": q_cores,
         **{k: v for k, v in crawl.items() if k != "cores"},
         "crawl_cores": high_n,
         "scaling_low_cores": low["cores"],
@@ -380,6 +440,14 @@ def main() -> None:
         "scaling_efficiency": efficiency,
         "scaling_reps_pages_per_sec": {
             str(c): [r["fetched_pages_per_sec"] for r in rs]
+            for c, rs in reps.items()
+        },
+        # contention evidence per leg, same order as the reps lists
+        "scaling_probes": {
+            str(c): [
+                [r.get("probe_spin_per_sec"), r.get("probe_load1")]
+                for r in rs
+            ]
             for c, rs in reps.items()
         },
         "total_wall_sec": round(total, 2),
