@@ -327,11 +327,20 @@ class CrawlJob:
             items, self.seen.read(), use_bloom=self.cfg.bloom_prefilter,
             n_buckets=self.cfg.bloom_buckets,
         ).cache()
-        n = new.count()
-        self.frontier.append(new)
-        self.seen.append(
-            new.select("url_hash", "url", "type", F.lit(0).alias("round"))
-        )
+        n = new.count()  # materializes the cache (incl. first UDF worker
+        # spin-up) so the two appends below only re-scan it — they are
+        # independent writes, submitted concurrently like the round's
+        # commit pools
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(self.frontier.append, new)
+            sa = pool.submit(
+                self.seen.append,
+                new.select("url_hash", "url", "type", F.lit(0).alias("round")),
+            )
+            fa.result()
+            sa.result()
         new.unpersist()
         self._write_marker("seeded.json", {"versions": self._versions(), "seeds": n})
         self._log("seeded", urls=n)
@@ -554,11 +563,15 @@ class CrawlJob:
 
         # ---- per-host lineage/counters ----
         # `results` is 1:1 with `sched` (fetch emits one row per scheduled
-        # row), so one conditional-agg pass over it yields five of the
-        # seven counters; `cand`/`new` contribute the other two.  Three
-        # partial-aggregated groupBys + one tiny merge shuffle replaces
-        # the seven-groupBy + pivot form (half the stages -> half the
-        # fixed per-round latency; every shuffle carries n_hosts rows).
+        # row), so conditional projections over it yield five of the
+        # seven counters; `cand`/`new`/`sink_src` contribute the rest.
+        # ONE shuffle: the four sources union as raw per-row contribution
+        # vectors and a single groupBy(host) aggregates them — map-side
+        # partial aggregation collapses each input partition to n_hosts
+        # rows before the exchange, so the shuffle carries the same
+        # volume as the old per-source pre-agg form but drops its four
+        # intermediate exchange layers (fixed per-round latency, and at
+        # 1000 executors four fewer stage barriers per round).
         kinds = [
             "scheduled", "fetched_ok", "fetched_err", "redirects",
             "retries", "discovered", "new_after_dedup",
@@ -570,22 +583,14 @@ class CrawlJob:
             F.col("retry") + 1 <= F.lit(cfg.max_retry)
         )
         zero = F.lit(0).cast("long")
-        def _pad(df, *have):
+
+        def _contrib(df, **exprs):
             return df.select(
-                "host", *[F.col(k) if k in have else zero.alias(k)
+                "host", *[exprs.get(k, zero).cast("long").alias(k)
                           for k in kinds]
             )
 
-        res_agg = _pad(
-            results.groupBy("host").agg(
-                F.count(F.lit(1)).alias("scheduled"),
-                F.sum(is_ok.cast("long")).alias("fetched_ok"),
-                F.sum((~is_ok).cast("long")).alias("fetched_err"),
-                F.sum(is_redir.cast("long")).alias("redirects"),
-                F.sum(is_retry.cast("long")).alias("retries"),
-            ),
-            "scheduled", "fetched_ok", "fetched_err", "redirects", "retries",
-        )
+        one = F.lit(1)
         # byte lineage over the post-revisit-marking sink rows: the
         # narrow payload_size column (measured once, in the verify scan)
         # splits into octets sunk vs octets D8 saved — the reference's
@@ -594,28 +599,21 @@ class CrawlJob:
             F.col("revisit") if "revisit" in sink_src.columns else F.lit(False)
         )
         psize = F.coalesce(F.col("payload_size"), F.lit(0))
-        sink_agg = _pad(
-            sink_src.groupBy("host").agg(
-                F.sum(F.when(~revisit_col, psize).otherwise(F.lit(0)))
-                .alias("payload_bytes"),
-                F.sum(F.when(revisit_col, psize).otherwise(F.lit(0)))
-                .alias("deduped_bytes"),
-            ),
-            "payload_bytes", "deduped_bytes",
-        )
-        cand_agg = _pad(
-            cand.groupBy("host").agg(F.count(F.lit(1)).alias("discovered")),
-            "discovered",
-        )
-        new_agg = _pad(
-            new.groupBy("host").agg(
-                F.count(F.lit(1)).alias("new_after_dedup")
-            ),
-            "new_after_dedup",
-        )
         metric_rows = (
-            res_agg.unionByName(sink_agg)
-            .unionByName(cand_agg).unionByName(new_agg)
+            _contrib(
+                results,
+                scheduled=one, fetched_ok=is_ok.cast("long"),
+                fetched_err=(~is_ok).cast("long"),
+                redirects=is_redir.cast("long"),
+                retries=is_retry.cast("long"),
+            )
+            .unionByName(_contrib(
+                sink_src,
+                payload_bytes=F.when(~revisit_col, psize).otherwise(zero),
+                deduped_bytes=F.when(revisit_col, psize).otherwise(zero),
+            ))
+            .unionByName(_contrib(cand, discovered=one))
+            .unionByName(_contrib(new, new_after_dedup=one))
             .groupBy("host")
             .agg(*[F.sum(k).alias(k) for k in kinds])
             .select(
@@ -639,14 +637,25 @@ class CrawlJob:
         # the warm narrow `results` cache, so they overlap: the sink is
         # scan->write IO-shaped, extract is CPU-shaped — concurrent
         # submission hides one behind the other at >1 task slot
-        with timer.stage("sink_commit"), ThreadPoolExecutor(max_workers=2) as pool:
-            fa = pool.submit(self.fetched.append, fetched_rows)
-            sa = pool.submit(
-                self.seen.append,
+        def _seen_then_bloom():
+            self.seen.append(
                 new.select(
                     "url_hash", "url", "type", F.lit(round_no + 1).alias("round")
-                ),
+                )
             )
+            if cfg.bloom_prefilter:
+                # incremental D9 maintenance (no full seen rescan):
+                # chained directly after the seen append (rebuilds read
+                # the post-append table, the merge reads the now-warm
+                # `new` cache) so its latency hides behind the payload
+                # sink's tail instead of contending with the metrics agg
+                # in the state pool; still precedes the round marker
+                # (rollback consistency)
+                self._update_bloom(new)
+
+        with timer.stage("sink_commit"), ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(self.fetched.append, fetched_rows)
+            sa = pool.submit(_seen_then_bloom)
             fa.result()
             sa.result()
         with timer.stage("state_commit"), ThreadPoolExecutor(max_workers=4) as pool:
@@ -660,13 +669,6 @@ class CrawlJob:
                 ),
                 pool.submit(self.metrics.append, metric_rows),
             ]
-            if cfg.bloom_prefilter:
-                # incremental D9 maintenance (no full seen rescan):
-                # must follow the seen append (rebuilds read the
-                # post-append table) and precede the marker (rollback
-                # consistency); independent of the sibling appends, so
-                # its latency hides behind them here
-                futs.append(pool.submit(self._update_bloom, new))
             if cfg.adaptive_politeness:
                 # incremental AIMD fold (reads only the cached
                 # metric_rows + the state table); same commit scope
