@@ -249,6 +249,17 @@ def jaccard_pairs(
     t=0.7, each with low df); everything else is linear narrow shuffles
     on token/doc_id.  DF_CAP remains the declared guard for adversarial
     token distributions."""
+    cand, posting = _jaccard_candidates(docs, text_col, t_num, t_den)
+    return _verify_pairs_fanout(cand, posting, t_num, t_den)
+
+
+def _jaccard_candidates(
+    docs: DataFrame, text_col: str, t_num: int, t_den: int
+) -> tuple:
+    """Candidate subtree of `jaccard_pairs` (prefix + length + PPJoin
+    positional filters, pre-verify) — factored out so evidence scripts
+    can count candidate VOLUME directly (scripts/candidate_volume.py);
+    returns (candidates, posting)."""
     from pyspark.sql import Window
 
     posting = _posting(docs, text_col)
@@ -313,7 +324,7 @@ def jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _verify_pairs_fanout(cand, posting, t_num, t_den)
+    return cand, posting
 
 
 def _posting_sql(table: str) -> str:
