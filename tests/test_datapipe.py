@@ -373,6 +373,48 @@ def test_audio_video_stubs_are_gated(spark):
         mm.sample_video_frames(df).collect()
 
 
+def test_corrupt_media_payloads_are_skipped_not_task_failures(spark):
+    """On a crawled corpus one truncated/hostile payload must never
+    fail the Spark task: corrupt rows (ValueError from the codec) are
+    dropped, valid rows in the same batch survive, and the gated-codec
+    NotImplementedError stays loud (previous test)."""
+    from zeno_spark.functions.audio import encode_wav
+    from zeno_spark.functions.video import encode_y4m
+
+    rate = 8000
+    good_wav = encode_wav(np.zeros(100), rate)
+    frames = [np.zeros((4, 4, 3), dtype=np.uint8)]
+    good_y4m = encode_y4m(frames, fps=25)
+    hostile = [
+        b"",                                   # empty
+        b"RIFF\x00\x00\x00\x00WAVE",           # truncated container
+        good_wav[:20],                         # cut inside the fmt header
+    ]
+    # a file cut mid-DATA is not corruption: stdlib wave decodes the
+    # frames that are present (partial capture tolerance)
+    from zeno_spark.functions.audio import decode_wav
+
+    partial, _ = decode_wav(good_wav[: len(good_wav) // 2])
+    assert 0 < partial.shape[0] < 100
+    df = spark.createDataFrame(
+        [("good", bytearray(good_wav), "wav")]
+        + [(f"bad{i}", bytearray(b), "wav") for i, b in enumerate(hostile)],
+        "media_id string, bytes binary, fmt string",
+    )
+    got = {r.media_id for r in mm.audio_features(df).collect()}
+    assert got == {"good"}
+
+    vdf = spark.createDataFrame(
+        [("good", bytearray(good_y4m), "y4m"),
+         ("bad0", bytearray(b"YUV4MPEG2 W4 H4 F30:0\n"), "y4m"),
+         ("bad1", bytearray(good_y4m[:-5]), "y4m"),   # truncated frame
+         ("bad2", bytearray(b"not a video"), "y4m")],
+        "media_id string, bytes binary, fmt string",
+    )
+    vgot = {r.media_id for r in mm.sample_video_frames(vdf, every_n=1).collect()}
+    assert vgot == {"good"}
+
+
 def test_video_frame_sampling_y4m(spark):
     """y4m frame sampling is REAL end-to-end: deterministic synthetic
     videos -> every_n-th frame re-encoded as PNG, pixels matching the

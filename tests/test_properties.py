@@ -255,3 +255,149 @@ def test_phash64_signed_int64_and_deterministic(seed):
     v = phash64(pixels)
     assert -(1 << 63) <= v < (1 << 63)
     assert phash64(pixels) == v
+
+
+# ---------------------------------------------------------------------------
+# flat-YAML config scanner
+# ---------------------------------------------------------------------------
+
+@COMMON
+@given(ANY_TEXT)
+def test_parse_simple_yaml_raises_valueerror_only(text):
+    """The scanner's loud-fail contract: outside-subset input raises
+    ValueError, hostile input never raises anything else."""
+    from zeno_spark.configfile import parse_simple_yaml
+
+    try:
+        out = parse_simple_yaml(text)
+    except ValueError:
+        return
+    assert isinstance(out, dict)
+
+
+SCALARS = st.one_of(
+    st.integers(-10**9, 10**9),
+    st.booleans(),
+    st.from_regex(r"[a-zA-Z][a-zA-Z0-9_./]{0,15}", fullmatch=True),
+)
+
+
+@COMMON
+@given(st.dictionaries(
+    st.from_regex(r"[a-z][a-z0-9_]{0,12}", fullmatch=True),
+    st.one_of(SCALARS, st.lists(st.integers(-999, 999), max_size=4)),
+    max_size=6,
+))
+def test_parse_simple_yaml_generated_roundtrip(cfg):
+    """A generated flat config (scalars, inline lists, comments, blank
+    lines) parses back to exactly the source dict."""
+    from zeno_spark.configfile import parse_simple_yaml
+
+    lines = ["# generated", ""]
+    for k, v in cfg.items():
+        if isinstance(v, list):
+            lines.append(f"{k}: [{', '.join(str(x) for x in v)}]  # list")
+        elif isinstance(v, bool):
+            lines.append(f"{k}: {'true' if v else 'false'}")
+        else:
+            lines.append(f"{k}: {v}")
+    assert parse_simple_yaml("\n".join(lines)) == cfg
+
+
+# ---------------------------------------------------------------------------
+# WAV codec
+# ---------------------------------------------------------------------------
+
+@COMMON
+@given(
+    st.integers(1, 200),
+    st.integers(1, 2),
+    st.sampled_from([8000, 44100]),
+    st.integers(0, 2**32 - 1),
+)
+def test_wav_roundtrip_within_quantization(n, ch, rate, seed):
+    from zeno_spark.functions.audio import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(-1, 1, size=(n, ch))
+    dec, got_rate = decode_wav(encode_wav(samples, rate))
+    assert got_rate == rate
+    assert dec.shape == (n, ch)
+    # PCM convention asymmetry: encode scales by 32767 (no clip at -1),
+    # decode divides by full-scale 32768 — worst case |x|/32768 scale
+    # error + 0.5/32768 rounding
+    assert np.abs(dec - samples).max() <= 1.5 / 32768
+
+
+@COMMON
+@given(st.binary(max_size=200))
+def test_decode_wav_hostile_bytes_raise_valueerror_only(data):
+    """Corrupt containers must surface as ValueError — the operators'
+    skip discipline (and fetch's 422) key on it; a wave.Error or
+    EOFError would crash the Spark task instead."""
+    from zeno_spark.functions.audio import decode_wav
+
+    try:
+        decode_wav(data)
+    except ValueError:
+        pass
+
+
+@COMMON
+@given(st.binary(max_size=120))
+def test_decode_wav_hostile_riff_header_raise_valueerror_only(tail):
+    from zeno_spark.functions.audio import decode_wav
+
+    data = b"RIFF" + tail[:4] + b"WAVE" + tail
+    try:
+        decode_wav(data)
+    except ValueError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# y4m codec
+# ---------------------------------------------------------------------------
+
+@COMMON
+@given(
+    st.integers(1, 3),
+    st.tuples(st.integers(2, 10), st.integers(2, 10)),
+    st.integers(0, 2**32 - 1),
+)
+def test_y4m_c444_roundtrip(n_frames, dims, seed):
+    from zeno_spark.functions.video import (
+        encode_y4m, iter_y4m_frames, video_info,
+    )
+
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    data = encode_y4m(frames, fps=25, colourspace="C444")
+    gw, gh, fps, n = video_info(data)
+    assert (gw, gh, fps, n) == (w, h, 25.0, n_frames)
+    decoded = [f for _, f in iter_y4m_frames(data)]
+    assert len(decoded) == n_frames
+    for d, s in zip(decoded, frames):
+        assert d.shape == s.shape
+        # BT.601 full-swing uint8 roundtrip error is a few levels
+        assert np.abs(d.astype(int) - s.astype(int)).max() <= 3
+
+
+@COMMON
+@given(st.binary(max_size=120))
+def test_y4m_hostile_bytes_raise_valueerror_only(tail):
+    """Crafted headers (F30:0 denominators, negative dims, truncated
+    frames) surface as ValueError, never ZeroDivisionError/IndexError —
+    hypothesis originally drove the normalization in parse_y4m_header."""
+    from zeno_spark.functions.video import iter_y4m_frames, video_info
+
+    for data in (tail, b"YUV4MPEG2 " + tail, b"YUV4MPEG2 W4 H2 F30:0\n" + tail):
+        for fn in (video_info, lambda d: list(iter_y4m_frames(d))):
+            try:
+                fn(data)
+            except ValueError:
+                pass

@@ -392,14 +392,20 @@ def decode_audio_batch(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
 def audio_features(media: DataFrame) -> DataFrame:
     """Batch audio feature extraction over (media_id, bytes, fmt):
     sample counts, rate, duration, RMS level.  Runs end-to-end for WAV;
-    other formats hit the gated decode."""
+    other formats hit the gated decode.  A corrupt payload (ValueError
+    from the codec) yields NO row for that media_id — the fetch tier's
+    422 discipline: on a crawled corpus one truncated file must never
+    fail the task; gated codecs (NotImplementedError) stay loud."""
     src = media.select("media_id", "bytes", "fmt").filter(F.col("bytes").isNotNull())
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for media_id, data, fmt in zip(pdf["media_id"], pdf["bytes"], pdf["fmt"]):
-                samples, rate = decode_audio_batch(bytes(data), fmt)
+                try:
+                    samples, rate = decode_audio_batch(bytes(data), fmt)
+                except ValueError:
+                    continue  # corrupt payload: skip the row
                 rows.append(
                     {
                         "media_id": media_id,
@@ -449,15 +455,24 @@ def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
                         f"video codec for {fmt!r} unavailable in-sandbox; "
                         "swap in ffmpeg/pyav frame iteration at deployment"
                     )
-                for idx, rgb in iter_y4m_frames(bytes(data)):
-                    if idx % every_n == 0:
-                        rows.append(
-                            {
-                                "media_id": media_id,
-                                "frame_idx": idx,
-                                "frame_bytes": encode_png(rgb),
-                            }
-                        )
+                # corrupt container/frames (ValueError) drop the whole
+                # media row — never a partial frame set, never a task
+                # crash (fetch.py's 422 discipline); the gated-codec
+                # NotImplementedError above stays loud by design
+                frame_rows = []
+                try:
+                    for idx, rgb in iter_y4m_frames(bytes(data)):
+                        if idx % every_n == 0:
+                            frame_rows.append(
+                                {
+                                    "media_id": media_id,
+                                    "frame_idx": idx,
+                                    "frame_bytes": encode_png(rgb),
+                                }
+                            )
+                except ValueError:
+                    continue
+                rows.extend(frame_rows)
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES.fields])
 
     return src.mapInPandas(_frames, schema=VIDEO_FRAMES)

@@ -11,6 +11,7 @@ n_channels); encode_wav writes 16-bit PCM.
 from __future__ import annotations
 
 import io
+import struct
 import wave
 
 import numpy as np
@@ -19,12 +20,26 @@ _WIDTH_DTYPE = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """-> (samples float64 [-1,1] of shape (frames, channels), rate)."""
-    with wave.open(io.BytesIO(data), "rb") as wf:
-        n_ch = wf.getnchannels()
-        width = wf.getsampwidth()
-        rate = wf.getframerate()
-        raw = wf.readframes(wf.getnframes())
+    """-> (samples float64 [-1,1] of shape (frames, channels), rate).
+
+    Malformed containers raise ValueError (never wave.Error/EOFError/
+    ZeroDivisionError): the datapipe operators and the fetch verify
+    tier key "corrupt payload, skip/422" on ValueError, and anything
+    else would crash the Spark task instead."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as wf:
+            n_ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            rate = wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError, OSError, RuntimeError, struct.error) as exc:
+        # stdlib wave leaks more than wave.Error on crafted headers:
+        # hypothesis found a RIFF prefix that raises bare RuntimeError
+        # (wave.py initfp), and chunk/struct can raise EOFError/
+        # struct.error on truncated sizes
+        raise ValueError(f"malformed WAV container: {exc}") from exc
+    if n_ch <= 0 or rate <= 0:
+        raise ValueError(f"invalid WAV params: channels={n_ch} rate={rate}")
     if width == 3:  # 24-bit: widen to int32 (stdlib gives raw bytes)
         b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
         ints = (

@@ -56,17 +56,26 @@ def parse_y4m_header(data: bytes) -> tuple[int, int, float, str, int]:
     cs = "C420"
     for tok in data[len(_MAGIC):nl].split():
         t = tok.decode("ascii", "replace")
-        if t.startswith("W"):
-            w = int(t[1:])
-        elif t.startswith("H"):
-            h = int(t[1:])
-        elif t.startswith("F"):
-            num, den = t[1:].split(":")
-            fps = int(num) / int(den)
-        elif t.startswith("C"):
-            cs = t
-    if not w or not h:
-        raise ValueError("y4m header missing W/H")
+        # malformed tokens (non-numeric dims, F30:0, bad ratios) must
+        # surface as ValueError — the crawl/datapipe tiers treat
+        # ValueError as "corrupt payload" (fetch.py's 422 discipline);
+        # a raw int()/ZeroDivisionError would crash the Spark task
+        try:
+            if t.startswith("W"):
+                w = int(t[1:])
+            elif t.startswith("H"):
+                h = int(t[1:])
+            elif t.startswith("F"):
+                num, den = t[1:].split(":")
+                if int(den) == 0:
+                    raise ValueError("zero fps denominator")
+                fps = int(num) / int(den)
+            elif t.startswith("C"):
+                cs = t
+        except ValueError as exc:
+            raise ValueError(f"malformed y4m header token {t!r}") from exc
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise ValueError("y4m header missing/invalid W/H")
     if not (cs.startswith("C420") or cs == "C444"):
         raise ValueError(f"unsupported y4m colourspace {cs}")
     return w, h, fps, cs, nl + 1
