@@ -258,6 +258,50 @@ def test_phash64_signed_int64_and_deterministic(seed):
 
 
 # ---------------------------------------------------------------------------
+# parse / extract routing
+# ---------------------------------------------------------------------------
+
+CONTENT_TYPES = st.sampled_from([
+    "text/html", "text/html; charset=utf-8", "application/json",
+    "application/xml", "text/xml", "application/x-mpegurl",
+    "application/vnd.apple.mpegurl", "application/octet-stream", "", None,
+])
+
+
+@COMMON
+@given(URLISH, CONTENT_TYPES, ANY_TEXT, st.one_of(st.none(), ANY_TEXT))
+def test_route_extract_never_raises_on_hostile_bodies(url, ct, body, link):
+    """The whole extract router is total: any body a site can serve
+    (hostile HTML, junk XML/JSON/m3u8, garbage Link headers) yields
+    (outlinks, assets) string lists, never an exception — one raising
+    row would fail the mapInPandas task and, after retries, the crawl."""
+    from zeno_spark.operators.parse import route_extract
+
+    o, a = route_extract(url, ct, body, link_header=link)
+    assert all(isinstance(u, str) for u in o)
+    assert all(isinstance(u, str) for u in a)
+
+
+def test_route_extract_malformed_ipv6_href_regression():
+    """Regression: urljoin raises ValueError on 'http://[' — a single
+    page carrying that href (or a hostile <base>) used to crash the
+    extract task; now the candidate is skipped (or passed through
+    absolute for canonicalize to drop)."""
+    from zeno_spark.operators.parse import route_extract
+
+    o, a = route_extract(
+        "http://h/", "text/html",
+        '<base href="http://["><a href="/x">y</a><img src="i.png">',
+    )
+    assert o == [] or all(isinstance(u, str) for u in o)
+    o2, _ = route_extract("http://h/", "text/html", '<a href="http://[">y</a>')
+    assert o2 == ["http://["]  # absolute passthrough; canonicalize drops it
+    o3, _ = route_extract("http://h/", "text/html", "x",
+                          link_header='<http://[>; rel=next')
+    assert o3 == ["http://["]
+
+
+# ---------------------------------------------------------------------------
 # flat-YAML config scanner
 # ---------------------------------------------------------------------------
 

@@ -83,6 +83,20 @@ def _parse_srcset(value: str) -> list[str]:
     return out
 
 
+def _safe_urljoin(base: str, u: str) -> str | None:
+    """urljoin that treats a parse failure as skip-the-candidate
+    (queue/item.go:76-80 discipline, same contract as canonicalize):
+    urllib raises ValueError on malformed IPv6-ish input — a single
+    hostile ``<a href="http://[">`` (or a hostile <base>) would
+    otherwise crash the whole extract task, and with it the crawl.
+    A hostile BASE still lets an absolute candidate through; it gets
+    its real parse at canonicalize time."""
+    try:
+        return urljoin(base, u)
+    except ValueError:
+        return u if u.startswith(("http://", "https://")) else None
+
+
 def _unquote_url(u: str) -> str | None:
     """strconv.Unquote analogue (assets.go:333-339): resolve \\uXXXX
     escapes that appear in script-embedded URLs; None = skip (the
@@ -300,9 +314,13 @@ def extract_m3u8(body: str, playlist_url: str) -> list[str]:
         if line.startswith("#"):
             m = re.search(r'URI="([^"]+)"', line)
             if m:
-                out.append(urljoin(playlist_url, m.group(1)))
+                r = _safe_urljoin(playlist_url, m.group(1))
+                if r is not None:
+                    out.append(r)
             continue
-        out.append(urljoin(playlist_url, line))
+        r = _safe_urljoin(playlist_url, line)
+        if r is not None:
+            out.append(r)
     return out
 
 
@@ -380,7 +398,10 @@ def route_extract(url: str, content_type: str, body: str,
     if link_header:
         # RFC 8288 allows relative targets; resolve against the request
         # URL on EVERY return path (the html branch returns early)
-        outlinks.extend(urljoin(url, u) for u, _rel in parse_link_header(link_header))
+        outlinks.extend(
+            r for u, _rel in parse_link_header(link_header)
+            if (r := _safe_urljoin(url, u)) is not None
+        )
     if ss.is_reddit_post_api(url):
         # reddit post-API JSON: permalinks -> outlinks, payload URL walk
         # -> assets (sitespecific/reddit/post.go:188-220)
@@ -406,10 +427,13 @@ def route_extract(url: str, content_type: str, body: str,
             # (ina.go:84-100); the live JWPlayer discovery is stubbed
             a = list(a) + ss.extract_ina_player_attrs(body)
         doc_base = base or url
-        outlinks.extend(urljoin(doc_base, u) for u in o)
-        assets.extend(urljoin(doc_base, u) for u in a)
+        outlinks.extend(r for u in o if (r := _safe_urljoin(doc_base, u)) is not None)
+        assets.extend(r for u in a if (r := _safe_urljoin(doc_base, u)) is not None)
         return outlinks, assets
-    return [urljoin(url, u) for u in outlinks], [urljoin(url, u) for u in assets]
+    return (
+        [r for u in outlinks if (r := _safe_urljoin(url, u)) is not None],
+        [r for u in assets if (r := _safe_urljoin(url, u)) is not None],
+    )
 
 
 def extract_from_content(
