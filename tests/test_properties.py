@@ -301,6 +301,47 @@ def test_route_extract_malformed_ipv6_href_regression():
     assert o3 == ["http://["]
 
 
+# hostile bodies through the site-specific extractors (the generic
+# URLISH strategy above never matches their URL predicates, so fuzz
+# them directly) — arrays/scalars where dicts are expected drove the
+# isinstance guards in extract_ina_medias / parse_ytdlp_video_json
+JSONISH = st.one_of(
+    ANY_TEXT,
+    st.recursive(
+        st.one_of(st.none(), st.booleans(), st.integers(-99, 99),
+                  st.text(max_size=12)),
+        lambda kids: st.one_of(
+            st.lists(kids, max_size=3),
+            st.dictionaries(
+                st.sampled_from([
+                    "data", "children", "permalink", "resourceUrl",
+                    "embedUrl", "uri", "is_live", "requested_formats",
+                    "http_headers", "url", "subtitles", "thumbnails",
+                    "formats", "format_note", "fragments", "acodec", "id",
+                ]),
+                kids, max_size=4,
+            ),
+        ),
+        max_leaves=12,
+    ).map(lambda v: __import__("json").dumps(v)),
+)
+
+
+@COMMON
+@given(JSONISH)
+def test_sitespecific_extractors_total_over_hostile_bodies(body):
+    from zeno_spark.operators import sitespecific as ss
+
+    perms, raw = ss.extract_reddit_post(body)
+    assert isinstance(perms, list) and isinstance(raw, list)
+    assert all(isinstance(u, str) for u in ss.extract_ina_medias(body))
+    assert all(isinstance(u, str) for u in ss.extract_ina_player_attrs(body))
+    assert all(isinstance(u, str) for u in ss.extract_jwplayer_assets(body))
+    streams, metas, headers = ss.parse_ytdlp_video_json(body)
+    assert isinstance(streams, list) and isinstance(metas, list)
+    assert isinstance(headers, dict)
+
+
 # ---------------------------------------------------------------------------
 # flat-YAML config scanner
 # ---------------------------------------------------------------------------

@@ -228,13 +228,15 @@ def extract_ina_medias(body: str) -> list[str]:
         data = json.loads(body)
     except Exception:
         return []
+    if not isinstance(data, dict):
+        return []  # a JSON array/scalar body is a parse miss, not a crash
     out = []
     for k in ("resourceUrl", "resourceThumbnail"):
-        if data.get(k):
+        if isinstance(data.get(k), str) and data[k]:
             out.append(data[k])
-    if data.get("embedUrl"):
+    if isinstance(data.get("embedUrl"), str) and data["embedUrl"]:
         out.append("https://player.ina.fr" + data["embedUrl"])
-    if data.get("uri"):
+    if isinstance(data.get("uri"), str) and data["uri"]:
         out.append(data["uri"])
     return out
 
@@ -308,43 +310,48 @@ def parse_ytdlp_video_json(
       * subtitles (not auto captions), thumbnails, storyboard formats
         (+ their fragments) -> meta URLs
     """
+    # the WHOLE walk is parse-error-tolerant, not just json.loads: a
+    # failed/hijacked binary can print any JSON shape (arrays, scalar
+    # fields where dicts are expected), and the walk's .get/[0]/.values
+    # chains would crash the runner on it — same logs-and-continues
+    # discipline as the reference
     try:
         video = json.loads(output)
+        streams: list[str] = []
+        metas: list[str] = []
+        headers: dict[str, str] = {}
+        if not video.get("is_live"):
+            fmts = video.get("requested_formats") or []
+            if fmts:
+                headers = fmts[0].get("http_headers") or {}
+                for f in fmts:
+                    acodec, vcodec = f.get("acodec"), f.get("vcodec")
+                    stream_type = ""
+                    if acodec == "none" and vcodec != "none":
+                        stream_type = "video"
+                    elif acodec != "none" and vcodec == "none":
+                        stream_type = "audio"
+                    u = (f.get("url") or "") + "&video_id=" + (video.get("id") or "")
+                    if stream_type:
+                        u += "&stream_type=" + stream_type
+                    streams.append(u)
+        for subs in (video.get("subtitles") or {}).values():
+            for sub in subs:
+                if sub.get("url"):
+                    metas.append(sub["url"])
+        for thumb in video.get("thumbnails") or []:
+            if thumb.get("url"):
+                metas.append(thumb["url"])
+        for f in video.get("formats") or []:
+            if f.get("format_note") == "storyboard":
+                if f.get("url"):
+                    metas.append(f["url"])
+                for frag in f.get("fragments") or []:
+                    if frag.get("url"):
+                        metas.append(frag["url"])
+        return streams, metas, headers
     except Exception:
         return [], [], {}
-    streams: list[str] = []
-    metas: list[str] = []
-    headers: dict[str, str] = {}
-    if not video.get("is_live"):
-        fmts = video.get("requested_formats") or []
-        if fmts:
-            headers = fmts[0].get("http_headers") or {}
-            for f in fmts:
-                acodec, vcodec = f.get("acodec"), f.get("vcodec")
-                stream_type = ""
-                if acodec == "none" and vcodec != "none":
-                    stream_type = "video"
-                elif acodec != "none" and vcodec == "none":
-                    stream_type = "audio"
-                u = (f.get("url") or "") + "&video_id=" + (video.get("id") or "")
-                if stream_type:
-                    u += "&stream_type=" + stream_type
-                streams.append(u)
-    for subs in (video.get("subtitles") or {}).values():
-        for sub in subs:
-            if sub.get("url"):
-                metas.append(sub["url"])
-    for thumb in video.get("thumbnails") or []:
-        if thumb.get("url"):
-            metas.append(thumb["url"])
-    for f in video.get("formats") or []:
-        if f.get("format_note") == "storyboard":
-            if f.get("url"):
-                metas.append(f["url"])
-            for frag in f.get("fragments") or []:
-                if frag.get("url"):
-                    metas.append(frag["url"])
-    return streams, metas, headers
 
 
 # the reference's exact format selector (ytdlp.go:15): best https video
