@@ -165,15 +165,29 @@ def _safe_header_value(v: str) -> str:
 
 def encode_header_value(v: str) -> str:
     """Lossless header-value transport for the X-Zeno-* metadata
-    columns: percent-encode only %, CR and LF so arbitrary captions
-    round-trip byte-exact through the synthesized HTTP block."""
-    return (
-        v.replace("%", "%25").replace("\r", "%0D").replace("\n", "%0A")
-    )
+    columns: percent-encode %, CR, LF — and a leading/trailing
+    whitespace char, because every conformant receiver (RFC 7230 OWS,
+    parse_http_block's strip) eats whitespace around field values, so
+    a caption like ' hi ' would otherwise ingest back as 'hi'
+    (hypothesis-found; the north rule requires caption byte-equality).
+    All raw % are escaped first, so decode is one full unquote pass."""
+    from urllib.parse import quote
+
+    v = v.replace("%", "%25").replace("\r", "%0D").replace("\n", "%0A")
+    if v and v[0].isspace():
+        v = quote(v[0], safe="") + v[1:]
+    if v and v[-1].isspace():
+        v = v[:-1] + quote(v[-1], safe="")
+    return v
 
 
 def decode_header_value(v: str) -> str:
-    return v.replace("%0A", "\n").replace("%0D", "\r").replace("%25", "%")
+    from urllib.parse import unquote
+
+    # single-pass percent-decode: the encoder escaped every literal %,
+    # so each %XX here is the encoder's own (incl. the legacy
+    # %0A/%0D/%25 triple, which decodes identically)
+    return unquote(v)
 
 
 def http_block(
