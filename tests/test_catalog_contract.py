@@ -49,18 +49,25 @@ KEYED = T.StructType([
 ])
 
 
-@pytest.fixture(params=["parquet_standin"])
+@pytest.fixture(params=["parquet_standin", "duckdb_commitlog"])
 def backend(request, spark, tmp_path):
     """Factory: make(name, schema, bucket_spec=None) -> snapshot table.
 
     The param list is the certification registry — an Iceberg binding
-    adds itself here and must go green on the whole module."""
+    adds itself here and must go green on the whole module.  Two
+    backends are certified today: the rename-published JSON manifest
+    log (HadoopCatalog shape) and the DuckDB transactional commit log
+    (JDBC-catalog shape) — proof the suite pins the SURFACE, not one
+    backend's mechanics."""
     if request.param == "parquet_standin":
         cat = Catalog(spark, str(tmp_path / "wh"))
-        return lambda name, schema, bucket_spec=None: cat.table(
-            name, schema, bucket_spec=bucket_spec
-        )
-    raise ValueError(request.param)
+    elif request.param == "duckdb_commitlog":
+        cat = Catalog(spark, str(tmp_path / "wh"), log_backend="duckdb")
+    else:
+        raise ValueError(request.param)
+    return lambda name, schema, bucket_spec=None: cat.table(
+        name, schema, bucket_spec=bucket_spec
+    )
 
 
 def _df(spark, rows):
