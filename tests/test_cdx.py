@@ -1,0 +1,152 @@
+"""CDXJ index over the WARC sink (operators/cdx.py).
+
+The reference's WARC output (crawl/crawl.go:101-119) is consumed by
+replay stacks through CDX(J) indexes; these tests check the contract
+that matters to them: every line's (offset, length) seeks to exactly
+one gzip member holding exactly the named record, shards are globally
+sorted by (SURT, timestamp), and the whole index is deterministic."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+
+import pytest
+
+from zeno_spark.operators import cdx as C
+from zeno_spark.operators import warc as W
+
+
+# ---------------------------------------------------------------------------
+# pure kernels
+# ---------------------------------------------------------------------------
+
+def test_surt_transform():
+    assert C.surt("http://Host.Example/A/B?b=2&a=1") == (
+        "example,host)/a/b?a=1&b=2"
+    )
+    assert C.surt("https://example.com/") == "com,example)/"
+    assert C.surt("http://example.com") == "com,example)/"
+    # default port dropped, explicit non-default kept
+    assert C.surt("http://example.com:80/p") == "com,example)/p"
+    assert C.surt("http://example.com:8080/p") == "com,example:8080)/p"
+    # host label reversal groups a domain's subdomains together
+    assert C.surt("http://img.cdn.example.com/x") == "com,example,cdn,img)/x"
+
+
+def test_warc_ts():
+    assert C._warc_ts("2026-01-01T00:02:00Z") == "20260101000200"
+
+
+def test_gzip_member_walk_matches_concatenated_members():
+    recs = [
+        W.response_record(f"http://h.example/{i}", 0, 200, "image/png",
+                          bytes([i]) * 50, None)
+        for i in range(5)
+    ]
+    data = b"".join(gzip.compress(r) for r in recs)
+    members = list(C._gzip_members(data))
+    assert len(members) == 5
+    pos = 0
+    for (off, length, raw), rec in zip(members, recs):
+        assert off == pos
+        assert gzip.decompress(data[off:off + length]) == raw == rec
+        pos += length
+    assert pos == len(data)
+    with pytest.raises(ValueError, match="truncated"):
+        list(C._gzip_members(data[:-3]))
+
+
+# ---------------------------------------------------------------------------
+# Spark index over a real export
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def warc_dir(spark, tmp_path_factory):
+    rows = []
+    for i in range(40):
+        payload = bytes([i % 7]) * (64 + i)
+        rows.append((
+            f"http://h{i % 4}.example/p/{i}?b=2&a=1", 200, payload,
+            f"cap {i}", i, i % 5 == 4, i % 3,
+        ))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows,
+        "url string, status int, bytes binary, caption string, "
+        "phash long, revisit boolean, round int",
+    ).withColumn("payload_digest", F.sha2(F.col("bytes"), 256)) \
+     .withColumn("fmt", F.lit("png"))
+    out = str(tmp_path_factory.mktemp("cdx") / "warcs")
+    W.write_warc(df, out, rotate_bytes=4096).collect()
+    return out
+
+
+def test_index_rows_seek_to_their_records(spark, warc_dir):
+    """The replay contract: for EVERY index row, decompressing
+    data[offset:offset+length] yields exactly the named record."""
+    rows = C.cdxj_index(spark, warc_dir).collect()
+    # one index row per response/revisit record; requests/warcinfo skipped
+    assert len(rows) == 40
+    assert sum(r.record_type == "revisit" for r in rows) == 8
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.filename, []).append(r)
+    for fname, rs in by_file.items():
+        data = open(os.path.join(warc_dir, fname), "rb").read()
+        for r in rs:
+            [rec] = list(W.parse_warc_stream(
+                gzip.decompress(data[r.offset:r.offset + r.length])))
+            assert rec["type"] == r.record_type
+            assert rec["headers"]["WARC-Target-URI"] == r.url
+            assert r.surt == C.surt(r.url)
+            assert len(r.ts) == 14 and r.ts.isdigit()
+            if r.record_type == "response":
+                assert r.mime == "image/png" and r.status == 200
+                assert r.digest and r.digest.startswith("sha256:")
+
+
+def test_write_cdxj_shards_are_globally_sorted(spark, warc_dir, tmp_path):
+    idx = C.cdxj_index(spark, warc_dir)
+    out = str(tmp_path / "cdxj")
+    manifest = C.write_cdxj(idx, out, shards=3).collect()
+    files = sorted(glob.glob(os.path.join(out, "*.cdxj")))
+    assert files == sorted(m.cdxj_file for m in manifest)
+    assert not glob.glob(os.path.join(out, "*" + W.OPEN_SUFFIX + "*"))
+    all_lines = []
+    for f in files:  # filename order == key order
+        all_lines.extend(open(f, encoding="utf-8").read().splitlines())
+    assert len(all_lines) == 40
+    keys = [tuple(l.split(" ", 2)[:2]) for l in all_lines]
+    assert keys == sorted(keys)
+    # every JSON block parses and carries the seek fields
+    for line in all_lines:
+        block = json.loads(line.split(" ", 2)[2])
+        assert {"url", "offset", "length", "filename"} <= set(block)
+    # manifest shard key ranges do not overlap
+    spans = sorted((m.first_key, m.last_key) for m in manifest)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+        assert a_hi <= b_lo
+
+
+def test_cdxj_roundtrip_and_determinism(spark, warc_dir, tmp_path):
+    idx = C.cdxj_index(spark, warc_dir)
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    C.write_cdxj(idx, out1, shards=2).collect()
+    C.write_cdxj(idx, out2, shards=2).collect()
+    read = lambda d: b"".join(
+        open(f, "rb").read() for f in sorted(glob.glob(os.path.join(d, "*.cdxj"))))
+    assert read(out1) == read(out2)  # byte-identical shards
+
+    back = C.read_cdxj(spark, out1)
+    a = {(r.surt, r.ts, r.offset): r for r in idx.collect()}
+    b = {(r.surt, r.ts, r.offset): r for r in back.collect()}
+    assert set(a) == set(b)
+    for k, r in a.items():
+        got = b[k]
+        assert (got.url, got.status, got.mime, got.digest,
+                got.length, got.filename) == (
+            r.url, r.status, r.mime, r.digest, r.length, r.filename)
