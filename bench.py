@@ -189,27 +189,83 @@ def build_corpus_dir(sf: float) -> str:
 
     d, n_pages, n_hosts = _corpus_dims(sf)
     marker = os.path.join(d, "_DONE")
-    if os.path.exists(marker):
+    warm_marker = os.path.join(d, "_WARM_DONE")
+    if os.path.exists(marker) and os.path.exists(warm_marker):
         return d
     spark = get_spark("zeno_bench_corpus", cores=min(CPUS, 16),
                       shuffle_partitions=16)
-    corpus = build_corpus(spark, n_pages=n_pages, n_hosts=n_hosts, seed=42,
-                          img_dims=IMG_DIMS)
-    corpus["pages"].write.mode("overwrite").parquet(f"{d}/pages.parquet")
-    corpus["links"].write.mode("overwrite").parquet(f"{d}/links.parquet")
-    seeds = (
-        spark.read.parquet(f"{d}/pages.parquet")
-        .filter(
-            (F.col("content_type") == "text/html")
-            & (F.pmod(F.xxhash64("url"), SEED_FRAC) == 0)
+
+    def write_set(prefix: str, pages: int, hosts: int, seed: int) -> None:
+        corpus = build_corpus(spark, n_pages=pages, n_hosts=hosts,
+                              seed=seed, img_dims=IMG_DIMS)
+        corpus["pages"].write.mode("overwrite").parquet(
+            f"{d}/{prefix}pages.parquet")
+        corpus["links"].write.mode("overwrite").parquet(
+            f"{d}/{prefix}links.parquet")
+        seeds = (
+            spark.read.parquet(f"{d}/{prefix}pages.parquet")
+            .filter(
+                (F.col("content_type") == "text/html")
+                & (F.pmod(F.xxhash64("url"), SEED_FRAC) == 0)
+            )
+            .select("url",
+                    F.pmod(F.xxhash64("url"), F.lit(1 << 40)).alias("line"))
         )
-        .select("url", F.pmod(F.xxhash64("url"), F.lit(1 << 40)).alias("line"))
-    )
-    seeds.write.mode("overwrite").parquet(f"{d}/seeds.parquet")
+        seeds.write.mode("overwrite").parquet(f"{d}/{prefix}seeds.parquet")
+
+    if not os.path.exists(marker):
+        write_set("", n_pages, n_hosts, seed=42)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    if not os.path.exists(warm_marker):
+        # warmup slice: a SEPARATE tiny corpus (different seed) written
+        # to parquet so the untimed warmup crawl executes the exact
+        # plan shapes of the timed leg (FileScan parquet, not the
+        # InMemoryTableScan a generated-and-cached corpus produces) —
+        # whole-stage codegen compiles per plan shape, and an
+        # in-memory-warmed leg pays every compile again inside the
+        # timed window's round 0 (~12-16 s serial, measured with
+        # scripts/round_profile.py; serial time is what the scaling
+        # ratio punishes)
+        write_set("warm_", 2000, 20, seed=43)
+        with open(warm_marker, "w") as fh:
+            fh.write("ok")
     spark.stop()
-    with open(marker, "w") as fh:
-        fh.write("ok")
     return d
+
+
+def _crawl_parquet(spark, corpus_dir: str, rounds: int, prefix: str = ""):
+    """One crawl over the parquet corpus set ``{prefix}pages/links/
+    seeds.parquet`` with the standard bench config; returns
+    (stats, wall, n_corpus).  Shared by the timed leg and its warmup so
+    both execute IDENTICAL plan shapes (same FileScan sources, same
+    config) — the warmup's entire point.
+
+    The origin corpus is NOT cached: Spark's columnar cache builder
+    burns minutes of CPU copying/statting GB-scale BINARY columns
+    (operators/fetch.py docstring) — the fetch probe reads the
+    column-pruned parquet scan directly (OS page cache serves the
+    bytes), which is also the only strategy that exists at 100 TB."""
+    from zeno_spark.config import CrawlConfig
+    from zeno_spark.plans.crawl import CrawlJob
+
+    pages = spark.read.parquet(f"{corpus_dir}/{prefix}pages.parquet")
+    links = spark.read.parquet(f"{corpus_dir}/{prefix}links.parquet").cache()
+    n_corpus = pages.count()
+    links.count()
+    seeds = spark.read.parquet(f"{corpus_dir}/{prefix}seeds.parquet")
+    warehouse = tempfile.mkdtemp(prefix="zeno_bench_")
+    cfg = CrawlConfig(
+        max_hops=4, per_host_budget=256, host_salt_buckets=8,
+        bloom_prefilter=True, max_rounds=rounds, compact_every=0,
+    )
+    job = CrawlJob(spark, warehouse, pages, links, cfg)
+    t0 = time.time()
+    stats = job.run(seeds=seeds, max_rounds=rounds)
+    wall = time.time() - t0
+    links.unpersist()
+    shutil.rmtree(warehouse, ignore_errors=True)
+    return stats, wall, n_corpus
 
 
 def bench_crawl_at(cores: int, sf: float) -> dict:
@@ -217,37 +273,22 @@ def bench_crawl_at(cores: int, sf: float) -> dict:
     (AQE off — see session.get_spark docstring for the measured
     rationale; skew handling is the explicit salted window).  The
     corpus is read from the shared parquet dir (build_corpus_dir)."""
-    from zeno_spark.config import CrawlConfig
-    from zeno_spark.plans.crawl import CrawlJob
     from zeno_spark.session import get_spark
 
     corpus_dir, _, _ = _corpus_dims(sf)
     spark = get_spark(f"zeno_bench_crawl{cores}", cores=cores,
                       shuffle_partitions=cores, aqe=False)
-    # untimed warmup: heats codegen + Python UDF workers (the steady
-    # state a long-running cluster runs in)
-    _run_crawl(spark, n_pages=300, n_hosts=10, rounds=1, seed_frac=2)
-    # the origin corpus is NOT cached: Spark's columnar cache builder
-    # burns minutes of CPU copying/statting GB-scale BINARY columns
-    # (operators/fetch.py docstring) — the fetch probe reads the
-    # column-pruned parquet scan directly (OS page cache serves the
-    # bytes), which is also the only strategy that exists at 100 TB
-    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
-    links = spark.read.parquet(f"{corpus_dir}/links.parquet").cache()
-    n_corpus = pages.count()
-    links.count()
-    seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
-    warehouse = tempfile.mkdtemp(prefix="zeno_bench_")
-    cfg = CrawlConfig(
-        max_hops=4, per_host_budget=256, host_salt_buckets=8,
-        bloom_prefilter=True, max_rounds=CRAWL_ROUNDS, compact_every=0,
-    )
-    job = CrawlJob(spark, warehouse, pages, links, cfg)
-    t0 = time.time()
-    stats = job.run(seeds=seeds, max_rounds=CRAWL_ROUNDS)
-    wall = time.time() - t0
+    # untimed warmup over the parquet warm_ slice: same FileScan plan
+    # shapes + config as the timed crawl, full round count, so
+    # whole-stage codegen, broadcast paths, and Python/Arrow workers
+    # are all hot before the clock starts (the steady state a
+    # long-running cluster runs in; round_profile.py measured
+    # ~12-16 s of first-execution serial time when warmup used a
+    # generated in-memory corpus whose plan shapes differ at the scan)
+    _crawl_parquet(spark, corpus_dir, rounds=CRAWL_ROUNDS, prefix="warm_")
+    stats, wall, n_corpus = _crawl_parquet(spark, corpus_dir,
+                                           rounds=CRAWL_ROUNDS)
     spark.stop()
-    shutil.rmtree(warehouse, ignore_errors=True)
     fetched = sum(s.fetched_ok for s in stats)
     frontier_processed = sum(s.scheduled + s.discovered for s in stats)
     return {

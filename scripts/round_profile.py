@@ -21,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 
 
 def profile(cores: int, sf: float = 0.1) -> dict:
-    from bench import CRAWL_ROUNDS, _corpus_dims, _run_crawl
+    from bench import CRAWL_ROUNDS, _corpus_dims, _crawl_parquet
     from zeno_spark.config import CrawlConfig
     from zeno_spark.operators.logfile import RoundLogger
     from zeno_spark.plans.crawl import CrawlJob
@@ -30,7 +30,9 @@ def profile(cores: int, sf: float = 0.1) -> dict:
     corpus_dir, _, _ = _corpus_dims(sf)
     spark = get_spark(f"zeno_profile{cores}", cores=cores,
                       shuffle_partitions=cores, aqe=False)
-    _run_crawl(spark, n_pages=300, n_hosts=10, rounds=1, seed_frac=2)
+    # plan-shape-identical warmup (parquet warm_ slice), matching
+    # bench_crawl_at — profiles the steady state the legs measure
+    _crawl_parquet(spark, corpus_dir, rounds=CRAWL_ROUNDS, prefix="warm_")
     pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
     links = spark.read.parquet(f"{corpus_dir}/links.parquet").cache()
     pages.count()
