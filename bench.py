@@ -342,20 +342,42 @@ def _spin_probe(duration: float = 0.3) -> float:
     return n / (time.perf_counter() - t0)
 
 
-def _settle(best_rate: float, max_wait: float = 90.0) -> tuple[float, float]:
-    """Bounded settle gate before each scaling leg: re-probe until the
-    spin rate recovers to >=85% of the best rate seen this run (or the
-    wait budget runs out — a persistently contended window is recorded,
-    not hidden).  Returns (final spin rate, 1-min loadavg) so every leg
-    in the artifact carries its own contention evidence (r3 verdict
+def _spin_probe_mc(workers: int = 4, duration: float = 0.3) -> float:
+    """Aggregate arithmetic throughput of ``workers`` CONCURRENT
+    processes — the multi-core contention signal the single-thread
+    probe cannot see.  Measured failure mode (BASELINE.md warm-shape
+    postmortem): hi legs cratered to ~50% while single-thread probes
+    held ~32M/s — a neighbor burst or hypervisor CPU quota can depress
+    4-core capacity while one thread still gets full silicon.  Probing
+    at the hi leg's own parallelism makes that visible and lets the
+    settle gate wait it out."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(max_workers=workers) as pool:
+        rates = list(pool.map(_spin_probe, [duration] * workers))
+    return sum(rates)
+
+
+def _settle(best_rate: float, best_mc: float,
+            max_wait: float = 90.0) -> tuple[float, float, float]:
+    """Bounded settle gate before each scaling leg: re-probe until BOTH
+    the single-thread spin rate and the 4-process aggregate rate
+    recover to >=85% of the best seen this run (or the wait budget runs
+    out — a persistently contended window is recorded, not hidden).
+    Returns (spin rate, 4-proc aggregate rate, 1-min loadavg) so every
+    leg in the artifact carries its own contention evidence (r3 verdict
     next-round item #1: 'record the per-leg draws + a contention
     probe')."""
     t0 = time.time()
-    rate = _spin_probe()
-    while best_rate and rate < 0.85 * best_rate and time.time() - t0 < max_wait:
+    rate, mc = _spin_probe(), _spin_probe_mc()
+    while (
+        ((best_rate and rate < 0.85 * best_rate)
+         or (best_mc and mc < 0.85 * best_mc))
+        and time.time() - t0 < max_wait
+    ):
         time.sleep(5)
-        rate = _spin_probe()
-    return rate, round(os.getloadavg()[0], 2)
+        rate, mc = _spin_probe(), _spin_probe_mc()
+    return rate, mc, round(os.getloadavg()[0], 2)
 
 
 def _crawl_in_subprocess(cores: int, sf: float) -> dict:
@@ -413,13 +435,16 @@ def main() -> None:
     # background writeback otherwise steals IO/CPU from it
     os.sync()
     best_rate = 0.0
+    best_mc = 0.0
 
     def _timed_leg(cores: int) -> dict:
-        nonlocal best_rate
-        rate, load1 = _settle(best_rate)
+        nonlocal best_rate, best_mc
+        rate, mc, load1 = _settle(best_rate, best_mc)
         best_rate = max(best_rate, rate)
+        best_mc = max(best_mc, mc)
         leg = _crawl_in_subprocess(cores, sf)
         leg["probe_spin_per_sec"] = round(rate)
+        leg["probe_spin4_per_sec"] = round(mc)
         leg["probe_load1"] = load1
         return leg
 
@@ -488,10 +513,12 @@ def main() -> None:
             str(c): [r["fetched_pages_per_sec"] for r in rs]
             for c, rs in reps.items()
         },
-        # contention evidence per leg, same order as the reps lists
+        # contention evidence per leg, same order as the reps lists:
+        # [single-thread spin/s, 4-proc aggregate spin/s, load1]
         "scaling_probes": {
             str(c): [
-                [r.get("probe_spin_per_sec"), r.get("probe_load1")]
+                [r.get("probe_spin_per_sec"),
+                 r.get("probe_spin4_per_sec"), r.get("probe_load1")]
                 for r in rs
             ]
             for c, rs in reps.items()
