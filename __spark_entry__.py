@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hosts": Q.q_top_hosts,
         "rolling_rate": Q.q_rolling_rate,
         "payload_revisit": Q.q_payload_revisit,
+        # D8 remote tier: local->CDX dedupe composition (cross-crawl
+        # revisits carrying WARC-Refers-To-* against a prior archive)
+        "cdx_revisit": Q.q_cdx_revisit,
         # adaptive-politeness AIMD fold (streaming/politeness.py) — the
         # custom stateful operator's batch-replay form, oracle'd by a
         # recursive CTE applying the identical per-host transition
@@ -145,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "top_hosts": Q.q_top_hosts_sql(),
         "rolling_rate": Q.q_rolling_rate_sql(),
         "payload_revisit": Q.q_payload_revisit_sql(),
+        "cdx_revisit": Q.q_cdx_revisit_sql(),
         "aimd_budgets": Q.q_aimd_budgets_sql(),
         "pricing_summary": Q.q_pricing_summary_sql(),
         "revenue_topk": Q.q_revenue_topk_sql(),

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "top_hosts",
     "rolling_rate",
     "payload_revisit",
+    "cdx_revisit",
     "aimd_budgets",
     "pricing_summary",
     "revenue_topk",

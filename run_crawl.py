@@ -100,6 +100,11 @@ def main() -> None:
     ap.add_argument("--warc-out",
                     help="after the crawl, export the fetched table to "
                          ".warc.gz files in this directory (S6 sink parity)")
+    ap.add_argument("--cdx-dedupe-dir",
+                    help="path to a PRIOR crawl's .cdxj index: payloads "
+                         "whose digest is archived there become revisit "
+                         "rows referring to the original capture (D8 "
+                         "remote tier, crawl/crawl.go:97-98 CDXDedupe)")
     ap.add_argument("--tui", action="store_true",
                     help="in-place live stats table (the reference's "
                          "250ms uilive render loop, crawl/stats.go)")
@@ -173,6 +178,7 @@ def main() -> None:
         max_rounds=args.rounds,
         schedule_strategy=args.strategy,
         adaptive_politeness=args.adaptive_politeness,
+        cdx_dedupe_dir=args.cdx_dedupe_dir,
     )
     transport = None
     if args.live:

@@ -17,7 +17,7 @@ def _row(rnd, host, i, revisit=False, caption="alpha beta gamma",
         None,                        # bytes — never read by the stream
         w if fmt else None, h if fmt else None, fmt,
         caption, 42 + i, 200, "seed", 0, rnd,
-        f"digest{i % 3}", revisit,
+        f"digest{i % 3}", revisit, None, None,
     )
 
 

@@ -140,6 +140,12 @@ class CrawlConfig:
     payload_dedupe: bool = True                # D8 (crawl/crawl.go:96-99): identical
                                                # payloads >= threshold become revisit rows
     payload_dedupe_min_size: int = 1024        # WARC dedupe threshold (cmd/get.go:80-82)
+    cdx_dedupe_dir: str | None = None          # D8 remote tier (crawl/crawl.go:97-98
+                                               # CDXDedupeServer): path to a PRIOR
+                                               # crawl's .cdxj index; local-original
+                                               # payloads whose digest is archived
+                                               # there become revisit rows referring
+                                               # to the original capture
 
     # lifecycle
     max_rounds: int = 64                       # round-count cap (batch-native)

@@ -434,18 +434,120 @@ def mark_payload_revisits(
     return out.drop("__w", "__prior")
 
 
+def _cdx_ts_to_warc_date(ts):
+    """14-digit CDX timestamp column -> ISO 8601 Zulu WARC-Date."""
+    return F.concat(
+        ts.substr(1, 4), F.lit("-"), ts.substr(5, 2), F.lit("-"),
+        ts.substr(7, 2), F.lit("T"), ts.substr(9, 2), F.lit(":"),
+        ts.substr(11, 2), F.lit(":"), ts.substr(13, 2), F.lit("Z"),
+    )
+
+
+def mark_cdx_revisits(
+    ok: DataFrame, cdx_index: DataFrame, min_size: int = 1024
+) -> DataFrame:
+    """D8 remote tier — CDX-server payload dedupe (crawl/crawl.go:97-98:
+    ``DedupeOptions{CDXDedupe: true, CDXURL, SizeThreshold}``): a payload
+    whose digest already exists in a PRIOR crawl's archive index becomes
+    a revisit row that refers to the archive's ORIGINAL capture — the
+    reference's warc client asks the CDX server by payload digest and
+    writes a revisit record carrying WARC-Refers-To-Target-URI /
+    WARC-Refers-To-Date; here those land in the ``refers_to_url`` /
+    ``refers_to_date`` columns and flow onto the exported record.
+
+    ``cdx_index`` is the prior archive's index in the CDXJ row shape
+    (operators/cdx.py cdxj_index / read_cdxj): ``digest`` holds the
+    WARC-Payload-Digest (``sha256:<hex>``), ``ts`` the 14-digit capture
+    timestamp.  Precedence matches the reference (local dedupe
+    short-circuits before the CDX lookup): rows already marked revisit
+    by mark_payload_revisits keep their in-crawl marking and null
+    refers-to; only local ORIGINALS are checked against the archive.
+    Payloads under ``min_size`` are exempt, like the CDX SizeThreshold.
+
+    Scale shape: the archive index may hold 10^10 captures while the
+    round's digest set is bounded by the round, so the join runs as
+    (1) semi-join the index scan down by the round's digests (small
+    side broadcast INTO the scan), (2) min-aggregate ONE original
+    capture per digest — by (ts, url), the CDX server's earliest-capture
+    answer, so re-marking is deterministic — then (3) broadcast the
+    per-digest result (<= round cardinality) back onto the round rows.
+    The index scan is column-pruned to (digest, ts, url) and never
+    touches payload bytes; at production scale the index additionally
+    lives digest-bucketed in the catalog so step (1) bucket-prunes."""
+    df = ok if "revisit" in ok.columns else ok.withColumn(
+        "revisit", F.lit(False))
+    size_ok = F.lit(True)
+    if "payload_size" in df.columns:
+        size_ok = F.coalesce(F.col("payload_size") >= min_size, F.lit(True))
+    elif "bytes" in df.columns:
+        size_ok = F.coalesce(F.length("bytes") >= min_size, F.lit(True))
+    eligible = F.col("payload_digest").isNotNull() & ~F.col("revisit") & size_ok
+    round_digests = df.filter(eligible).select("payload_digest").distinct()
+    capture = F.struct(F.col("ts"), F.col("url"))
+    archive = cdx_index
+    if "record_type" in cdx_index.columns:
+        archive = archive.filter(
+            F.col("record_type").isin("response", "revisit"))
+    archive = (
+        archive.filter(F.col("digest").isNotNull())
+        .select(
+            F.regexp_replace(F.col("digest"), "^sha256:", "")
+            .alias("payload_digest"),
+            capture.alias("__cap"),
+        )
+        .join(F.broadcast(round_digests), "payload_digest", "left_semi")
+        .groupBy("payload_digest")
+        .agg(F.min("__cap").alias("__cap"))
+        .select(
+            "payload_digest",
+            F.col("__cap.url").alias("__cdx_url"),
+            _cdx_ts_to_warc_date(F.col("__cap.ts")).alias("__cdx_date"),
+        )
+    )
+    out = df.join(F.broadcast(archive), "payload_digest", "left")
+    hit = eligible & F.col("__cdx_url").isNotNull()
+    prev_url = (
+        F.col("refers_to_url") if "refers_to_url" in df.columns
+        else F.lit(None).cast("string")
+    )
+    prev_date = (
+        F.col("refers_to_date") if "refers_to_date" in df.columns
+        else F.lit(None).cast("string")
+    )
+    out = (
+        out.withColumn(
+            "refers_to_url", F.when(hit, F.col("__cdx_url"))
+            .otherwise(prev_url))
+        .withColumn(
+            "refers_to_date", F.when(hit, F.col("__cdx_date"))
+            .otherwise(prev_date))
+        .withColumn("revisit", F.col("revisit") | F.coalesce(hit, F.lit(False)))
+    )
+    if "bytes" in out.columns:
+        out = out.withColumn(
+            "bytes",
+            F.when(F.col("revisit"), F.lit(None).cast("binary"))
+            .otherwise(F.col("bytes")),
+        )
+    return out.drop("__cdx_url", "__cdx_date")
+
+
 def to_fetched_rows(ok: DataFrame, round_no: int) -> DataFrame:
     """Project fetch successes into the `fetched` sink schema (the WARC
     replacement, SURVEY §2.1 S6).  Input rows carry payload_digest /
-    revisit when D8 is on; absent columns default to (null, false)."""
+    revisit (+ refers_to_* from the CDX tier) when D8 is on; absent
+    columns default to (null, false, null, null)."""
     cols = set(ok.columns)
     if "payload_digest" not in cols:
         ok = ok.withColumn("payload_digest", F.lit(None).cast("string"))
     if "revisit" not in cols:
         ok = ok.withColumn("revisit", F.lit(False))
+    for c in ("refers_to_url", "refers_to_date"):
+        if c not in cols:
+            ok = ok.withColumn(c, F.lit(None).cast("string"))
     return ok.select(
         "url", "url_hash", "host", "image_id", "bytes", "w", "h", "fmt",
         "caption", "phash", "status", "type", "hop",
         F.lit(round_no).cast("int").alias("round"),
-        "payload_digest", "revisit",
+        "payload_digest", "revisit", "refers_to_url", "refers_to_date",
     )

@@ -93,6 +93,8 @@ WARC_ROWS = T.StructType(
         T.StructField("phash", T.LongType(), True),
         T.StructField("payload_digest", T.StringType(), True),
         T.StructField("revisit", T.BooleanType(), False),
+        T.StructField("refers_to_url", T.StringType(), True),
+        T.StructField("refers_to_date", T.StringType(), True),
         T.StructField("round", T.IntegerType(), True),
         T.StructField("warc_file", T.StringType(), False),
     ]
@@ -293,9 +295,13 @@ def revisit_record(
     content_type: str,
     payload_digest: str | None,
     extra_headers: dict[str, str] | None = None,
+    refers_to_url: str | None = None,
+    refers_to_date: str | None = None,
 ) -> bytes:
     """Identical-payload-digest revisit: headers-only block, no payload
-    (crawl/crawl.go:96-99 discipline)."""
+    (crawl/crawl.go:96-99 discipline).  A CDX-deduped revisit (remote
+    tier, crawl/crawl.go:97-98) names the prior archive's original
+    capture via WARC-Refers-To-Target-URI / WARC-Refers-To-Date."""
     block = http_block(status, content_type, b"", extra_headers)
     h = {
         "WARC-Record-ID": _record_id("revisit", url, round_no, payload_digest),
@@ -304,6 +310,10 @@ def revisit_record(
         "WARC-Profile": _REVISIT_PROFILE,
         "Content-Type": 'application/http;msgtype=response',
     }
+    if refers_to_url:
+        h["WARC-Refers-To-Target-URI"] = encode_header_value(refers_to_url)
+    if refers_to_date:
+        h["WARC-Refers-To-Date"] = encode_header_value(refers_to_date)
     if payload_digest:
         h["WARC-Payload-Digest"] = f"sha256:{payload_digest}"
     return build_record("revisit", h, block)
@@ -440,7 +450,8 @@ def parse_http_block(block: bytes) -> tuple[int, dict[str, str], bytes]:
 # ---------------------------------------------------------------------------
 
 _SINK_COLS = ["url", "status", "image_id", "bytes", "w", "h", "fmt",
-              "caption", "phash", "round", "payload_digest", "revisit"]
+              "caption", "phash", "round", "payload_digest", "revisit",
+              "refers_to_url", "refers_to_date"]
 
 
 def _write_batches(out_dir: str, rotate_bytes: int,
@@ -481,7 +492,11 @@ def _write_batches(out_dir: str, rotate_bytes: int,
                 digest = val("payload_digest", i)
                 revisit = val("revisit", i)
                 if revisit:
-                    rec = revisit_record(url, round_no, status, ct, digest, xh)
+                    rec = revisit_record(
+                        url, round_no, status, ct, digest, xh,
+                        refers_to_url=val("refers_to_url", i),
+                        refers_to_date=val("refers_to_date", i),
+                    )
                 else:
                     payload = val("bytes", i) or b""
                     rec = response_record(
@@ -621,6 +636,18 @@ def _parse_file_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Record
                     "phash": int(hh["x-zeno-phash"]) if "x-zeno-phash" in hh else None,
                     "payload_digest": digest.removeprefix("sha256:") or None,
                     "revisit": rtype == "revisit",
+                    "refers_to_url": (
+                        decode_header_value(rec["headers"][
+                            "WARC-Refers-To-Target-URI"])
+                        if "WARC-Refers-To-Target-URI" in rec["headers"]
+                        else None
+                    ),
+                    "refers_to_date": (
+                        decode_header_value(rec["headers"][
+                            "WARC-Refers-To-Date"])
+                        if "WARC-Refers-To-Date" in rec["headers"]
+                        else None
+                    ),
                     "round": None,
                     "warc_file": fname,
                 }

@@ -48,6 +48,7 @@ from zeno_spark.operators.extract import (
 from zeno_spark.operators.fetch import (
     attach_sink_payloads,
     fetch_meta,
+    mark_cdx_revisits,
     mark_payload_revisits,
     split_results,
     to_fetched_rows,
@@ -207,6 +208,14 @@ class CrawlJob:
         # optional user-supplied static cache; the effective gate input
         # is static ∪ table (_effective_robots).
         self.robots_tbl = self.catalog.table("robots", schemas.ROBOTS)
+        # D8 remote tier — prior-crawl CDX index for cross-crawl payload
+        # dedupe (crawl/crawl.go:97-98 CDXDedupeServer); parsed lazily
+        # per round, column-pruned to (digest, ts, url), never payloads
+        self.cdx_index: DataFrame | None = None
+        if cfg.cdx_dedupe_dir:
+            from ..operators.cdx import read_cdxj
+
+            self.cdx_index = read_cdxj(spark, cfg.cdx_dedupe_dir)
         # host count of the static cache, counted once on first gate use
         # (the live table's count is free catalog metadata every round)
         self._static_robots_rows: int | None = None
@@ -520,6 +529,14 @@ class CrawlJob:
             sink_src = mark_payload_revisits(
                 ok, self.fetched.read(), cfg.payload_dedupe_min_size
             )
+            if self.cdx_index is not None:
+                # remote tier AFTER local (the reference's precedence:
+                # LocalDedupe short-circuits before the CDX lookup) —
+                # local originals whose digest is archived in the prior
+                # crawl become refers-to-carrying revisits
+                sink_src = mark_cdx_revisits(
+                    sink_src, self.cdx_index, cfg.payload_dedupe_min_size
+                )
         else:
             sink_src = ok
         # sink pass: bytes rejoin from a second column-pruned origin

@@ -392,6 +392,102 @@ def q_payload_revisit_sql() -> str:
     """
 
 
+def q_cdx_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 remote tier — the FULL sink dedupe composition, run as the
+    REAL operators (mark_payload_revisits THEN mark_cdx_revisits,
+    operators/fetch.py — the local->CDX precedence of
+    crawl/crawl.go:96-99): local duplicate payloads become in-crawl
+    revisits first; remaining ORIGINALS whose digest is archived in a
+    prior crawl's CDX index become revisits referring to the archive's
+    earliest capture (WARC-Refers-To-Target-URI / -Date).
+
+    The "prior crawl" is synthesized deterministically from the same
+    documents table: every doc_id % 3 == 0 payload is archived under
+    ``http://archive/<doc_id>`` with a doc_id-derived 14-digit capture
+    timestamp — so the round's digest set overlaps the archive exactly
+    where the oracle says it should."""
+    from zeno_spark.operators.fetch import (
+        mark_cdx_revisits,
+        mark_payload_revisits,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "text",
+    )
+    ok = docs.select(
+        F.col("doc_id").alias("url"),
+        F.lit(0).cast("long").alias("url_hash"),
+        F.lit(0).cast("long").alias("enqueue_seq"),
+        F.col("text").cast("binary").alias("bytes"),
+    )
+    prior = spark.createDataFrame([], "payload_digest string")
+    local = mark_payload_revisits(ok, prior, min_size=64)
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    arc = docs.filter(
+        (F.col("id") % 3 == 0)
+        & (F.octet_length(F.col("text").cast("binary")) >= 64)
+    ).select(
+        F.concat(
+            F.lit("sha256:"), F.sha2(F.col("text").cast("binary"), 256)
+        ).alias("digest"),
+        F.concat(
+            F.lit("2025"), two(F.col("id") % 12 + 1),
+            two(F.col("id") % 28 + 1), two(F.col("id") % 24),
+            two(F.col("id") % 60), two((F.col("id") * 7) % 60),
+        ).alias("ts"),
+        F.concat(F.lit("http://archive/"), F.col("doc_id")).alias("url"),
+    )
+    out = mark_cdx_revisits(local, arc, min_size=64)
+    return out.select(
+        F.col("url").alias("doc_id"), "revisit",
+        "refers_to_url", "refers_to_date",
+    )
+
+
+def q_cdx_revisit_sql() -> str:
+    return """
+    WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(doc_id AS BIGINT) AS id,
+             CASE WHEN octet_length(CAST(text AS BLOB)) >= 64
+                  THEN sha256(text) END AS dg
+      FROM documents),
+    w AS (
+      SELECT dg, min(doc_id) AS winner
+      FROM d WHERE dg IS NOT NULL GROUP BY 1),
+    loc AS (
+      SELECT d.doc_id, d.dg,
+             coalesce(d.dg IS NOT NULL AND d.doc_id <> w.winner,
+                      FALSE) AS local_rev
+      FROM d LEFT JOIN w USING (dg)),
+    arc AS (
+      SELECT dg,
+             '2025' || lpad(CAST(id % 12 + 1 AS VARCHAR), 2, '0')
+                    || lpad(CAST(id % 28 + 1 AS VARCHAR), 2, '0')
+                    || lpad(CAST(id % 24 AS VARCHAR), 2, '0')
+                    || lpad(CAST(id % 60 AS VARCHAR), 2, '0')
+                    || lpad(CAST((id * 7) % 60 AS VARCHAR), 2, '0') AS ts,
+             'http://archive/' || doc_id AS url
+      FROM d WHERE id % 3 = 0 AND dg IS NOT NULL),
+    best AS (
+      SELECT dg, ts, url FROM (
+        SELECT dg, ts, url,
+               row_number() OVER (PARTITION BY dg ORDER BY ts, url) AS rn
+        FROM arc) WHERE rn = 1)
+    SELECT loc.doc_id,
+           coalesce(loc.local_rev OR best.url IS NOT NULL, FALSE) AS revisit,
+           CASE WHEN NOT loc.local_rev THEN best.url END AS refers_to_url,
+           CASE WHEN NOT loc.local_rev AND best.ts IS NOT NULL THEN
+                substr(best.ts, 1, 4) || '-' || substr(best.ts, 5, 2) || '-'
+                || substr(best.ts, 7, 2) || 'T' || substr(best.ts, 9, 2)
+                || ':' || substr(best.ts, 11, 2) || ':'
+                || substr(best.ts, 13, 2) || 'Z'
+           END AS refers_to_date
+    FROM loc LEFT JOIN best USING (dg)
+    """
+
+
 def q_aimd_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1-O5 addition — the ADAPTIVE-POLITENESS control law
     (streaming/politeness.py), run as the REAL batch-replay operator

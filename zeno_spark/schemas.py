@@ -153,6 +153,13 @@ FETCHED = T.StructType(
         # carry no bytes (the WARC revisit-record analogue)
         T.StructField("payload_digest", T.StringType(), True),
         T.StructField("revisit", T.BooleanType(), False),
+        # D8 remote tier — CDX-server dedupe (crawl/crawl.go:97-98):
+        # a revisit that dedupes against a PRIOR crawl's archive refers
+        # to the original capture there (WARC-Refers-To-Target-URI /
+        # WARC-Refers-To-Date on the exported revisit record); null for
+        # in-crawl revisits and originals
+        T.StructField("refers_to_url", T.StringType(), True),
+        T.StructField("refers_to_date", T.StringType(), True),
     ]
 )
 
