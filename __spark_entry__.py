@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # D8 remote tier: local->CDX dedupe composition (cross-crawl
         # revisits carrying WARC-Refers-To-* against a prior archive)
         "cdx_revisit": Q.q_cdx_revisit,
+        # S6 adjunct: wayback-style capture resolution (the CDX lookup
+        # WarcReplayTransport fetches through — latest capture, revisit
+        # payload stitch, unresolvable drop)
+        "cdx_resolve": Q.q_cdx_resolve,
         # adaptive-politeness AIMD fold (streaming/politeness.py) — the
         # custom stateful operator's batch-replay form, oracle'd by a
         # recursive CTE applying the identical per-host transition
@@ -149,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_rate": Q.q_rolling_rate_sql(),
         "payload_revisit": Q.q_payload_revisit_sql(),
         "cdx_revisit": Q.q_cdx_revisit_sql(),
+        "cdx_resolve": Q.q_cdx_resolve_sql(),
         "aimd_budgets": Q.q_aimd_budgets_sql(),
         "pricing_summary": Q.q_pricing_summary_sql(),
         "revenue_topk": Q.q_revenue_topk_sql(),

@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "rolling_rate",
     "payload_revisit",
     "cdx_revisit",
+    "cdx_resolve",
     "aimd_budgets",
     "pricing_summary",
     "revenue_topk",

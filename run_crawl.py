@@ -90,6 +90,16 @@ def main() -> None:
                          "in-worker P1-P12 extraction — no pages/links "
                          "tables needed (tested against a local origin in "
                          "tests/test_transport.py)")
+    ap.add_argument("--replay-warc",
+                    help="fetch from a PRIOR crawl's .warc.gz archive "
+                         "instead of the wire (WarcReplayTransport): "
+                         "each URL resolves through the CDXJ index to "
+                         "one gzip-member seek; not-archived URLs are "
+                         "deterministic 404s")
+    ap.add_argument("--replay-cdx",
+                    help="with --replay-warc: the archive's .cdxj index "
+                         "directory (write_cdxj output); omitted = index "
+                         "the archive in-memory first")
     ap.add_argument("--proxy", help="X4 forward proxy for --live "
                                     "(capture.go:60-64)")
     ap.add_argument("--bypass-proxy", nargs="*", default=[],
@@ -188,6 +198,13 @@ def main() -> None:
             proxy=args.proxy,
             bypass=tuple(args.bypass_proxy),
             warc_dir=args.warc_capture_dir,
+            extract=links is None,
+        )
+    elif args.replay_warc:
+        from zeno_spark.operators.transport import WarcReplayTransport
+
+        transport = WarcReplayTransport.from_dirs(
+            spark, args.replay_warc, args.replay_cdx,
             extract=links is None,
         )
     job = CrawlJob(spark, args.warehouse, pages, links, cfg, robots=robots,

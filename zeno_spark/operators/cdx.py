@@ -87,6 +87,12 @@ MANIFEST = T.StructType(
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
+# the public CDX convention (pywb/OpenWayback indexers): a revisit
+# record is indexed with this mime so consumers of the on-disk .cdxj —
+# which carries no WARC-Type — can still tell payload-carrying captures
+# from digest-only revisits (the replay stitch needs exactly that)
+MIME_REVISIT = "warc/revisit"
+
 
 def surt(url: str) -> str:
     """Sort-friendly URI Reordering Transform of ``url``.
@@ -159,6 +165,8 @@ def _index_file_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Record
                     status = st
                     ct = hh.get("content-type")
                     mime = ct.split(";")[0].strip() if ct else None
+                if rtype == "revisit":
+                    mime = MIME_REVISIT
                 digest = h.get("WARC-Payload-Digest") or None
                 rows.append(
                     {
@@ -334,4 +342,88 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
             F.col("j.length").cast("long").alias("length"),
             F.col("j.filename").alias("filename"),
         )
+    )
+
+
+def _is_revisit_col(index: DataFrame) -> F.Column:
+    """Revisit detection across both index shapes: the in-memory
+    ``cdxj_index`` frame carries ``record_type``; the on-disk CDXJ line
+    does not, so ``read_cdxj`` consumers rely on the public
+    ``warc/revisit`` mime convention instead."""
+    if "record_type" in index.columns:
+        return F.col("record_type") == "revisit"
+    return F.col("mime") == MIME_REVISIT
+
+
+def resolve_captures(index: DataFrame, wanted: DataFrame) -> DataFrame:
+    """Wayback-style capture resolution (the lookup a replay/CDX server
+    performs per request): for each url in ``wanted`` (a single bounded
+    ``url`` column — e.g. one crawl round's scheduled batch), pick the
+    LATEST capture in ``index`` (CDXJ shape from ``cdxj_index`` or
+    ``read_cdxj``; ties broken by (ts, filename, offset) so resolution
+    is deterministic), and when that capture is a revisit record —
+    which archives only a digest, never payload bytes — stitch in the
+    byte extent of the EARLIEST payload-carrying capture sharing its
+    digest (the record the revisit's WARC-Refers-To names).
+
+    One row per RESOLVABLE url:
+
+      url, ts, status,
+      hdr_filename/hdr_offset/hdr_length  — the capture to serve
+                                            status + headers from
+      pay_filename/pay_offset/pay_length  — the record holding the
+                                            payload block (== hdr_* for
+                                            plain responses)
+
+    A url with no capture, and a revisit whose original is absent from
+    the index, resolves to NO row — "not archived" (the transport's
+    covers_all=False turns that into the native-404 path).
+
+    Scale shape: the archive index may hold 10^10 captures while
+    ``wanted`` is bounded by the round, so the index scan is semi-join
+    pruned by the broadcast wanted set BEFORE any aggregation — the
+    archive side is never shuffled; both groupBys and the final joins
+    run over <= |wanted| rows, and only (url, ts, digest, extent)
+    columns are ever read from the index."""
+    is_rev = _is_revisit_col(index)
+    order = F.struct("ts", "filename", "offset")
+    urls = wanted.select("url").distinct()
+    best = (
+        index.join(F.broadcast(urls), "url", "left_semi")
+        .groupBy("url")
+        .agg(
+            F.max_by(
+                F.struct("ts", "status", "digest", "filename", "offset",
+                         "length", is_rev.alias("is_rev")),
+                order,
+            ).alias("c")
+        )
+        .select("url", "c.*")
+    )
+    rev_digests = (
+        best.filter(F.col("is_rev") & F.col("digest").isNotNull())
+        .select("digest").distinct()
+    )
+    originals = (
+        index.filter(~is_rev & F.col("digest").isNotNull())
+        .join(F.broadcast(rev_digests), "digest", "left_semi")
+        .groupBy("digest")
+        .agg(F.min_by(F.struct("filename", "offset", "length"), order)
+             .alias("o"))
+    )
+    pay = lambda c: (  # noqa: E731
+        F.when(F.col("is_rev"), F.col(f"o.{c}")).otherwise(F.col(c))
+    )
+    return (
+        best.join(F.broadcast(originals), "digest", "left")
+        .select(
+            "url", "ts", "status",
+            F.col("filename").alias("hdr_filename"),
+            F.col("offset").alias("hdr_offset"),
+            F.col("length").alias("hdr_length"),
+            pay("filename").alias("pay_filename"),
+            pay("offset").alias("pay_offset"),
+            pay("length").alias("pay_length"),
+        )
+        .filter(F.col("pay_filename").isNotNull())
     )

@@ -426,3 +426,201 @@ class HttpTransport:
             self.max_body_bytes,
         )
         return scheduled.mapInArrow(worker, schema=RESPONSES)
+
+
+def _replay_worker(warc_dir, extract, disabled_tags):
+    """Arrow worker for WarcReplayTransport: per row, seek+decompress
+    exactly the gzip member(s) the CDX resolution named — never a file
+    scan.  A tiny per-task handle cache keeps one open fd per WARC file
+    (rows arrive sorted by (file, offset), so reads within a task are a
+    forward sweep of each file)."""
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import os
+        import zlib
+
+        from zeno_spark.operators.warc import (
+            decode_header_value,
+            parse_http_block,
+            parse_warc_stream,
+        )
+
+        handles: dict[str, object] = {}
+
+        def record(fname, off, length):
+            fh = handles.get(fname)
+            if fh is None:
+                if len(handles) >= 8:
+                    handles.popitem()[1].close()
+                fh = open(os.path.join(warc_dir, fname), "rb")
+                handles[fname] = fh
+            fh.seek(off)
+            [rec] = list(parse_warc_stream(
+                zlib.decompress(fh.read(length), 31)))
+            return rec
+
+        def _int_or_none(v, lo=-(2 ** 63), hi=2 ** 63 - 1):
+            try:
+                n = int(v)
+            except (TypeError, ValueError):
+                return None
+            return n if lo <= n <= hi else None
+
+        names = [f.name for f in RESPONSES.fields]
+        for b in batches:
+            idx = {n: i for i, n in enumerate(b.schema.names)}
+            col = lambda n: b.column(idx[n]).to_pylist()  # noqa: E731
+            urls = col("url")
+            hf, ho, hl = col("hdr_filename"), col("hdr_offset"), col("hdr_length")
+            pf, po, pl = col("pay_filename"), col("pay_offset"), col("pay_length")
+            out: dict[str, list] = {n: [] for n in names}
+            for i, url in enumerate(urls):
+                hdr = record(hf[i], ho[i], hl[i])
+                status, hh, body = parse_http_block(hdr["block"])
+                if (pf[i], po[i]) != (hf[i], ho[i]):
+                    # revisit capture: headers/status are the revisit's,
+                    # payload bytes live in the stitched original record
+                    _, _, body = parse_http_block(
+                        record(pf[i], po[i], pl[i])["block"])
+                ct = (hh.get("content-type") or "").split(";")[0].strip() or None
+                fmt = None
+                if "x-zeno-fmt" in hh:
+                    fmt = decode_header_value(hh["x-zeno-fmt"])
+                elif ct and ct.startswith("image/"):
+                    fmt = ct.removeprefix("image/")
+                is_ok = status == 200
+
+                def xz(key):
+                    v = hh.get(key)
+                    return decode_header_value(v) if v is not None else None
+
+                out["image_id"].append(xz("x-zeno-image-id") if is_ok else None)
+                out["w"].append(
+                    _int_or_none(hh["x-zeno-w"], -(2 ** 31), 2 ** 31 - 1)
+                    if is_ok and "x-zeno-w" in hh else None
+                )
+                out["h"].append(
+                    _int_or_none(hh["x-zeno-h"], -(2 ** 31), 2 ** 31 - 1)
+                    if is_ok and "x-zeno-h" in hh else None
+                )
+                out["fmt"].append(fmt if is_ok else None)
+                out["caption"].append(xz("x-zeno-caption") if is_ok else None)
+                phash = hh.get("x-zeno-phash")
+                out["phash"].append(_int_or_none(phash) if is_ok else None)
+                out["content_type"].append(ct)
+                out["redirect_to"].append(
+                    hh.get("location") if 300 <= status <= 399 else None
+                )
+                out["__page_status"].append(status)
+                out["__retry_after"].append(None)
+                out["__bytes"].append(body if is_ok else None)
+                out["__adv_phash"].append(
+                    phash if is_ok and _int_or_none(phash) is not None
+                    else None
+                )
+                if extract and is_ok and body:
+                    from zeno_spark.operators.parse import route_extract
+
+                    o, a = route_extract(
+                        url, ct or "", body.decode("utf-8", "replace"),
+                        link_header=None, server_header=None,
+                        disabled_tags=disabled_tags,
+                    )
+                    out["__outlinks"].append(o)
+                    out["__assets"].append(a)
+                else:
+                    out["__outlinks"].append(None)
+                    out["__assets"].append(None)
+            for n in _CARRY:
+                out[n] = b.column(idx[n])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    out[n] if isinstance(out[n], pa.Array)
+                    else pa.array(out[n], type=_pa_type(n))
+                    for n in names
+                ],
+                names=names,
+            )
+        for fh in handles.values():
+            fh.close()
+
+    return gen
+
+
+class WarcReplayTransport:
+    """Archive-replay transport: the "wire" is a PRIOR crawl's WARC
+    archive, resolved through its CDXJ index — what a wayback-style
+    replay stack does per request, expressed as the fetch seam so the
+    ENTIRE crawl plan (admission, politeness, dedupe, extraction) runs
+    unchanged over archived traffic.  Re-crawling from an archive is the
+    standard QA/derivation workflow on the reference's output (its
+    WARCs are consumed through pywb/OpenWayback replay).
+
+    Resolution (cdx.resolve_captures): latest capture per URL,
+    deterministic tiebreak; a revisit capture serves its own
+    status/headers with the payload block of the earliest
+    payload-carrying capture of the same digest (the record its
+    WARC-Refers-To names).  A URL absent from the index — or a revisit
+    whose original is missing — yields NO response row, and
+    ``covers_all=False`` routes it through fetch_meta's native-404
+    path: not archived is a deterministic miss, not a transient.
+    ``deterministic_429=False``: an archived 429 is a fact and never
+    "recovers" on retry.
+
+    Scale shape: the index scan is semi-join pruned by the round's
+    broadcast URL set before any aggregation (the archive is never
+    shuffled); the resolved extents (<= round cardinality) broadcast
+    back onto the scheduled rows, which then hash-partition by WARC
+    file and sort by offset so each task's reads are a forward sweep
+    of few files; the worker decompresses exactly one gzip member per
+    record — the seekability the one-member-per-record WARC layout and
+    the CDXJ offset/length fields exist to provide.  Payload bytes
+    appear only between the member read and the verify worker, same
+    discipline as the live transport.
+
+    ``extract=True`` runs the P1-P12 extractors on replayed bodies
+    (self-contained replay of a live-crawled archive, no links table).
+    """
+
+    covers_all = False
+    deterministic_429 = False
+
+    def __init__(
+        self,
+        warc_dir: str,
+        index: DataFrame,
+        extract: bool = False,
+        disabled_tags: frozenset[str] = frozenset(),
+    ):
+        self.warc_dir = warc_dir
+        self.index = index
+        self.extract = extract
+        self.disabled_tags = frozenset(disabled_tags)
+
+    @classmethod
+    def from_dirs(cls, spark, warc_dir: str, cdx_dir: str | None = None,
+                  **kw) -> "WarcReplayTransport":
+        """Build from directories: with ``cdx_dir``, lookups go through
+        the prior crawl's on-disk .cdxj shards (the production shape —
+        index once, replay many); without, the archive is indexed
+        in-memory first (small archives / tests)."""
+        from zeno_spark.operators.cdx import cdxj_index, read_cdxj
+
+        idx = (read_cdxj(spark, cdx_dir) if cdx_dir
+               else cdxj_index(spark, warc_dir))
+        return cls(warc_dir, idx, **kw)
+
+    def responses(self, scheduled: DataFrame, cfg=None) -> DataFrame:
+        from zeno_spark.operators.cdx import resolve_captures
+
+        resolved = resolve_captures(
+            self.index, scheduled.select("url")
+        ).drop("ts", "status")
+        placed = (
+            scheduled.join(F.broadcast(resolved), "url", "inner")
+            .repartition(F.col("hdr_filename"))
+            .sortWithinPartitions("hdr_filename", "hdr_offset")
+        )
+        worker = _replay_worker(self.warc_dir, self.extract,
+                                self.disabled_tags)
+        return placed.mapInArrow(worker, schema=RESPONSES)

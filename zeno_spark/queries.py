@@ -488,6 +488,94 @@ def q_cdx_revisit_sql() -> str:
     """
 
 
+def q_cdx_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 adjunct — wayback-style CAPTURE RESOLUTION (the CDX-server
+    lookup a replay stack performs per request), run as the REAL
+    operator (cdx.resolve_captures, the one WarcReplayTransport fetches
+    through): latest capture per wanted URL, deterministic tiebreak,
+    revisit captures stitched to the EARLIEST payload-carrying capture
+    of the same digest, unresolvable rows (absent URL, revisit with no
+    archived original) dropped.
+
+    The index is synthesized deterministically from documents in the
+    ON-DISK CDXJ shape (no record_type column — revisits flagged by the
+    public ``warc/revisit`` mime convention, so the driver gate covers
+    the shape a .cdxj consumer sees): doc i captures url i%40 at a
+    14-digit timestamp monotone in i; every 4th capture is a revisit,
+    digests cycle mod 25 with every 17th null (an undeduplicable
+    capture), and the wanted set is urls 0..29 — a strict subset, so
+    the semi-join prune is load-bearing."""
+    from zeno_spark.operators.cdx import MIME_REVISIT, resolve_captures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    idx = docs.select(
+        F.concat(F.lit("http://site/"), (F.col("id") % 40).cast("string"))
+        .alias("url"),
+        F.lpad(F.col("id").cast("string"), 14, "0").alias("ts"),
+        F.when(F.col("id") % 4 == 0, F.lit(MIME_REVISIT))
+        .otherwise(F.lit("image/png")).alias("mime"),
+        F.when(F.col("id") % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit("sha256:d"), (F.col("id") % 25).cast("string"))
+        ).alias("digest"),
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string"))
+        .alias("filename"),
+        (F.col("id") * 100).cast("long").alias("offset"),
+        F.lit(100).cast("long").alias("length"),
+        F.lit(200).cast("int").alias("status"),
+    )
+    wanted = spark.range(30).select(
+        F.concat(F.lit("http://site/"), F.col("id").cast("string"))
+        .alias("url")
+    )
+    return resolve_captures(idx, wanted)
+
+
+def q_cdx_resolve_sql() -> str:
+    return """
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+    idx AS (
+      SELECT 'http://site/' || CAST(id % 40 AS VARCHAR) AS url,
+             lpad(CAST(id AS VARCHAR), 14, '0') AS ts,
+             (id % 4 = 0) AS is_rev,
+             CASE WHEN id % 17 = 0 THEN NULL
+                  ELSE 'sha256:d' || CAST(id % 25 AS VARCHAR) END AS digest,
+             'w' || CAST(id % 7 AS VARCHAR) AS filename,
+             id * 100 AS "offset", CAST(100 AS BIGINT) AS length,
+             CAST(200 AS INTEGER) AS status
+      FROM d),
+    wanted AS (
+      SELECT 'http://site/' || CAST(range AS VARCHAR) AS url
+      FROM range(0, 30)),
+    best AS (
+      SELECT * FROM (
+        SELECT idx.*, row_number() OVER (
+                 PARTITION BY url
+                 ORDER BY ts DESC, filename DESC, "offset" DESC) AS rn
+        FROM idx SEMI JOIN wanted USING (url))
+      WHERE rn = 1),
+    orig AS (
+      SELECT digest, filename AS o_file, "offset" AS o_off,
+             length AS o_len
+      FROM (
+        SELECT digest, filename, "offset", length, row_number() OVER (
+                 PARTITION BY digest
+                 ORDER BY ts, filename, "offset") AS rn
+        FROM idx WHERE NOT is_rev AND digest IS NOT NULL)
+      WHERE rn = 1)
+    SELECT url, ts, status,
+           filename AS hdr_filename, "offset" AS hdr_offset,
+           length AS hdr_length,
+           CASE WHEN is_rev THEN o_file ELSE filename END AS pay_filename,
+           CASE WHEN is_rev THEN o_off ELSE "offset" END AS pay_offset,
+           CASE WHEN is_rev THEN o_len ELSE length END AS pay_length
+    FROM best LEFT JOIN orig USING (digest)
+    WHERE (CASE WHEN is_rev THEN o_file ELSE filename END) IS NOT NULL
+    """
+
+
 def q_aimd_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1-O5 addition — the ADAPTIVE-POLITENESS control law
     (streaming/politeness.py), run as the REAL batch-replay operator
