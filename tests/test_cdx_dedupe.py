@@ -103,6 +103,24 @@ def test_mark_cdx_revisits_filters_record_type(spark):
     assert r.revisit and r.refers_to_url == "http://old/resp"
 
 
+def test_refers_to_prefers_payload_carrying_captures(spark):
+    """A merged multi-crawl index can hold digest-only REVISIT captures
+    of the same payload; the refers-to target must be a record replay
+    can actually serve, even when a revisit capture is earlier."""
+    ok = spark.createDataFrame(
+        [("http://a/1", b"x" * 2000, "d1", False)],
+        "url string, bytes binary, payload_digest string, revisit boolean",
+    )
+    arc = spark.createDataFrame(
+        [("sha256:d1", "20240101000000", "http://old/rev", C.MIME_REVISIT),
+         ("sha256:d1", "20250101000000", "http://old/resp", "image/png")],
+        "digest string, ts string, url string, mime string",
+    )
+    [r] = mark_cdx_revisits(ok, arc, min_size=1024).collect()
+    assert r.revisit and r.refers_to_url == "http://old/resp"
+    assert r.refers_to_date == "2025-01-01T00:00:00Z"
+
+
 # ---------------------------------------------------------------------------
 # WARC header roundtrip
 # ---------------------------------------------------------------------------

@@ -468,9 +468,12 @@ def mark_cdx_revisits(
     round's digest set is bounded by the round, so the join runs as
     (1) semi-join the index scan down by the round's digests (small
     side broadcast INTO the scan), (2) min-aggregate ONE original
-    capture per digest — by (ts, url), the CDX server's earliest-capture
-    answer, so re-marking is deterministic — then (3) broadcast the
-    per-digest result (<= round cardinality) back onto the round rows.
+    capture per digest — payload-carrying captures rank before
+    digest-only revisit captures (a merged multi-crawl index may hold
+    both; the refers-to target must be a record replay can serve), then
+    earliest (ts, url), the CDX server's answer, so re-marking is
+    deterministic — then (3) broadcast the per-digest result (<= round
+    cardinality) back onto the round rows.
     The index scan is column-pruned to (digest, ts, url) and never
     touches payload bytes; at production scale the index additionally
     lives digest-bucketed in the catalog so step (1) bucket-prunes."""
@@ -483,7 +486,17 @@ def mark_cdx_revisits(
         size_ok = F.coalesce(F.length("bytes") >= min_size, F.lit(True))
     eligible = F.col("payload_digest").isNotNull() & ~F.col("revisit") & size_ok
     round_digests = df.filter(eligible).select("payload_digest").distinct()
-    capture = F.struct(F.col("ts"), F.col("url"))
+    if "record_type" in cdx_index.columns:
+        is_rev = F.col("record_type") == "revisit"
+    elif "mime" in cdx_index.columns:
+        from zeno_spark.operators.cdx import MIME_REVISIT
+
+        is_rev = F.coalesce(F.col("mime") == MIME_REVISIT, F.lit(False))
+    else:
+        is_rev = F.lit(False)
+    capture = F.struct(
+        is_rev.cast("int").alias("rev"), F.col("ts"), F.col("url")
+    )
     archive = cdx_index
     if "record_type" in cdx_index.columns:
         archive = archive.filter(
