@@ -150,8 +150,10 @@ def main() -> None:
         pages, links, seeds = corpus["pages"], corpus["links"], corpus["seeds"]
         robots = corpus["robots"]
     else:
-        if not args.live and not (args.pages and args.links):
-            ap.error("--pages/--links required without --synthetic-pages/--live")
+        if (not args.live and not args.replay_warc
+                and not (args.pages and args.links)):
+            ap.error("--pages/--links required without "
+                     "--synthetic-pages/--live/--replay-warc")
         # read the origin scan directly — never cached or repartitioned:
         # payload bytes stay on the column-pruned parquet path
         # (operators/fetch.py plan discipline)

@@ -249,3 +249,26 @@ def test_cross_crawl_cdx_dedupe_e2e(spark, cdx_corpus, tmp_path):
     for g in got.values():
         if g.refers_to_url is not None:
             assert (g.refers_to_url, g.payload_digest) in arc
+
+    # the remote tier is INDEPENDENT of the local one: with
+    # payload_dedupe=False (no in-crawl revisits), every archived
+    # digest still dedupes against the prior crawl — never a silent
+    # no-op when only cdx_dedupe_dir is set
+    cfg3 = CrawlConfig(max_hops=2, per_host_budget=8, max_rounds=6,
+                       payload_dedupe=False,
+                       payload_dedupe_min_size=64,
+                       cdx_dedupe_dir=cdx_dir)
+    job3 = _run(spark, str(tmp_path / "wh3"), cdx_corpus, cfg3)
+    got3 = {r.url: r for r in job3.fetched.read().collect()}
+    assert {(r.url, r.round) for r in got3.values()} == {
+        (r.url, r.round) for r in want.values()
+    }
+    n3 = 0
+    for url, g in got3.items():
+        if g.payload_digest in archived:
+            assert g.revisit and g.refers_to_url is not None
+            assert g.bytes is None
+            n3 += 1
+        else:
+            assert not g.revisit
+    assert n3 >= n_cdx

@@ -97,6 +97,23 @@ def test_resolve_captures_semantics(spark, with_type):
     assert (b.pay_filename, b.pay_offset, b.pay_length) == ("f1", 0, 10)
 
 
+def test_resolve_captures_null_mime_is_payload_carrying(spark):
+    """A foreign archive's response capture may carry no Content-Type —
+    its index row has a null mime.  The classifier must be null-safe:
+    the capture stays in the originals pool, so revisits of its digest
+    resolve instead of silently dropping to not-archived."""
+    idx = spark.createDataFrame(
+        [("http://h/orig", "20250101000000", None, "sha256:d1", "f1", 0, 10),
+         ("http://h/dup", "20260101000000", C.MIME_REVISIT, "sha256:d1",
+          "f2", 0, 5)],
+        "url string, ts string, mime string, digest string, "
+        "filename string, offset long, length long",
+    ).withColumn("status", F.lit(200))
+    wanted = spark.createDataFrame([("http://h/dup",)], "url string")
+    [r] = C.resolve_captures(idx, wanted).collect()
+    assert (r.pay_filename, r.pay_offset, r.pay_length) == ("f1", 0, 10)
+
+
 # ---------------------------------------------------------------------------
 # transport mechanics over a hand-built archive
 # ---------------------------------------------------------------------------

@@ -345,14 +345,23 @@ def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def _is_revisit_col(index: DataFrame) -> F.Column:
+def is_revisit_col(index: DataFrame) -> F.Column:
     """Revisit detection across both index shapes: the in-memory
     ``cdxj_index`` frame carries ``record_type``; the on-disk CDXJ line
     does not, so ``read_cdxj`` consumers rely on the public
-    ``warc/revisit`` mime convention instead."""
+    ``warc/revisit`` mime convention instead.  NULL-SAFE and
+    missing-column-safe: a capture with a null mime (a foreign WARC
+    whose response carried no Content-Type) or an index with neither
+    column classifies as payload-carrying — a three-valued NULL here
+    would silently drop the capture from a NOT-filtered originals scan.
+    The one shared classifier for the dedupe (fetch.mark_cdx_revisits)
+    and replay (resolve_captures) tiers, so they can never disagree on
+    the same index row."""
     if "record_type" in index.columns:
-        return F.col("record_type") == "revisit"
-    return F.col("mime") == MIME_REVISIT
+        return F.coalesce(F.col("record_type") == "revisit", F.lit(False))
+    if "mime" in index.columns:
+        return F.coalesce(F.col("mime") == MIME_REVISIT, F.lit(False))
+    return F.lit(False)
 
 
 def resolve_captures(index: DataFrame, wanted: DataFrame) -> DataFrame:
@@ -385,7 +394,7 @@ def resolve_captures(index: DataFrame, wanted: DataFrame) -> DataFrame:
     archive side is never shuffled; both groupBys and the final joins
     run over <= |wanted| rows, and only (url, ts, digest, extent)
     columns are ever read from the index."""
-    is_rev = _is_revisit_col(index)
+    is_rev = is_revisit_col(index)
     order = F.struct("ts", "filename", "offset")
     urls = wanted.select("url").distinct()
     best = (

@@ -486,16 +486,11 @@ def mark_cdx_revisits(
         size_ok = F.coalesce(F.length("bytes") >= min_size, F.lit(True))
     eligible = F.col("payload_digest").isNotNull() & ~F.col("revisit") & size_ok
     round_digests = df.filter(eligible).select("payload_digest").distinct()
-    if "record_type" in cdx_index.columns:
-        is_rev = F.col("record_type") == "revisit"
-    elif "mime" in cdx_index.columns:
-        from zeno_spark.operators.cdx import MIME_REVISIT
+    from zeno_spark.operators.cdx import is_revisit_col
 
-        is_rev = F.coalesce(F.col("mime") == MIME_REVISIT, F.lit(False))
-    else:
-        is_rev = F.lit(False)
     capture = F.struct(
-        is_rev.cast("int").alias("rev"), F.col("ts"), F.col("url")
+        is_revisit_col(cdx_index).cast("int").alias("rev"),
+        F.col("ts"), F.col("url"),
     )
     archive = cdx_index
     if "record_type" in cdx_index.columns:

@@ -448,12 +448,12 @@ def _replay_worker(warc_dir, extract, disabled_tags):
         handles: dict[str, object] = {}
 
         def record(fname, off, length):
-            fh = handles.get(fname)
+            fh = handles.pop(fname, None)  # re-insert: LRU at dict tail
             if fh is None:
-                if len(handles) >= 8:
-                    handles.popitem()[1].close()
+                if len(handles) >= 8:  # evict LEAST recently used (head)
+                    handles.pop(next(iter(handles))).close()
                 fh = open(os.path.join(warc_dir, fname), "rb")
-                handles[fname] = fh
+            handles[fname] = fh
             fh.seek(off)
             [rec] = list(parse_warc_stream(
                 zlib.decompress(fh.read(length), 31)))
@@ -602,12 +602,16 @@ class WarcReplayTransport:
                   **kw) -> "WarcReplayTransport":
         """Build from directories: with ``cdx_dir``, lookups go through
         the prior crawl's on-disk .cdxj shards (the production shape —
-        index once, replay many); without, the archive is indexed
-        in-memory first (small archives / tests)."""
+        index once, replay many; left UNCACHED, a 10^10-row index must
+        not be pinned in executor memory and its pruned scans are
+        cheap); without, the archive is indexed in-memory first (small
+        archives / tests) and CACHED — resolve_captures references the
+        index twice per round, and re-deriving it would gzip-decompress
+        and header-parse the whole archive each time."""
         from zeno_spark.operators.cdx import cdxj_index, read_cdxj
 
         idx = (read_cdxj(spark, cdx_dir) if cdx_dir
-               else cdxj_index(spark, warc_dir))
+               else cdxj_index(spark, warc_dir).cache())
         return cls(warc_dir, idx, **kw)
 
     def responses(self, scheduled: DataFrame, cfg=None) -> DataFrame:

@@ -529,16 +529,19 @@ class CrawlJob:
             sink_src = mark_payload_revisits(
                 ok, self.fetched.read(), cfg.payload_dedupe_min_size
             )
-            if self.cdx_index is not None:
-                # remote tier AFTER local (the reference's precedence:
-                # LocalDedupe short-circuits before the CDX lookup) —
-                # local originals whose digest is archived in the prior
-                # crawl become refers-to-carrying revisits
-                sink_src = mark_cdx_revisits(
-                    sink_src, self.cdx_index, cfg.payload_dedupe_min_size
-                )
         else:
             sink_src = ok
+        if self.cdx_index is not None:
+            # remote tier AFTER local (the reference's precedence:
+            # LocalDedupe short-circuits before the CDX lookup) — local
+            # originals whose digest is archived in the prior crawl
+            # become refers-to-carrying revisits.  Independent of the
+            # local tier: cdx_dedupe_dir with payload_dedupe=False still
+            # dedupes against the archive (every row is then a local
+            # "original"), never a silent no-op.
+            sink_src = mark_cdx_revisits(
+                sink_src, self.cdx_index, cfg.payload_dedupe_min_size
+            )
         # sink pass: bytes rejoin from a second column-pruned origin
         # scan (parquet scan -> parquet write, no Python, no shuffle).
         # A live transport has no origin table to re-scan — its payload
