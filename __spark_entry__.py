@@ -95,6 +95,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # custom stateful operator's batch-replay form, oracle'd by a
         # recursive CTE applying the identical per-host transition
         "aimd_budgets": Q.q_aimd_budgets,
+        # host link-graph analytics (datapipe/graph.py) — degrees +
+        # fixed-point integer PageRank (engine-exact by construction)
+        "host_degrees": Q.q_host_degrees,
+        "host_pagerank": Q.q_host_pagerank,
         # analytics over the star schema
         "pricing_summary": Q.q_pricing_summary,
         "revenue_topk": Q.q_revenue_topk,
@@ -155,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
         "cdx_revisit": Q.q_cdx_revisit_sql(),
         "cdx_resolve": Q.q_cdx_resolve_sql(),
         "aimd_budgets": Q.q_aimd_budgets_sql(),
+        "host_degrees": Q.q_host_degrees_sql(),
+        "host_pagerank": Q.q_host_pagerank_sql(),
         "pricing_summary": Q.q_pricing_summary_sql(),
         "revenue_topk": Q.q_revenue_topk_sql(),
         "region_rollup": Q.q_region_rollup_sql(),

@@ -1,0 +1,103 @@
+"""Host link-graph analytics (datapipe/graph.py): fixed-point integer
+PageRank vs an independent pure-Python reference, degree exactness,
+partitioning-invariance (the determinism the integer discipline buys),
+and the frontier -> host-edge aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from zeno_spark.datapipe import graph as gr
+
+# hand graph: 1->2, 1->3, 2->3, 3->1 (cycle), 4->3 (4 is dangling-in
+# only... 4 has out-edge), 5 appears only as a dst (no out-edges:
+# dangling), self-loop 6->6, and 7->5 so 5 has in-mass.
+EDGES = [
+    (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (6, 6), (7, 5),
+    (1, 2),  # duplicate edge: must collapse (DISTINCT semantics)
+]
+
+
+def _pagerank_ref(edges, iters, dpct, scale):
+    """Independent single-threaded reference of graph.pagerank's
+    contract (module docstring): integer micro-unit ranks, floor
+    divisions, dangling mass dropped."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    out_deg = {}
+    for u, _ in e:
+        out_deg[u] = out_deg.get(u, 0) + 1
+    base = (scale * (100 - dpct)) // 100
+    rank = {n: scale for n in nodes}
+    for _ in range(iters):
+        nxt = {n: base for n in nodes}
+        for u, v in e:
+            nxt[v] += ((rank[u] * dpct) // 100) // out_deg[u]
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_pure_python_reference(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in gr.pagerank(df, iters=4).collect()
+    }
+    want = _pagerank_ref(EDGES, 4, gr.PR_DAMPING_PCT, gr.PR_SCALE)
+    assert got == want
+    # the dangling node (5: no out-edges) still holds base + in-mass
+    assert got[5] > (gr.PR_SCALE * 15) // 100
+
+
+def test_pagerank_is_partitioning_invariant(spark):
+    """Integer arithmetic => bit-identical under any shuffle layout."""
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    a = sorted(gr.pagerank(df, iters=3).collect())
+    b = sorted(gr.pagerank(df.repartition(7, "dst"), iters=3).collect())
+    assert a == b
+
+
+def test_degrees_exact(spark):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r["node"]: (r["out_deg"], r["in_deg"])
+        for r in gr.degrees(df).collect()
+    }
+    assert got == {
+        1: (2, 1),   # dup edge 1->2 collapsed
+        2: (1, 1),
+        3: (1, 3),
+        4: (1, 0),
+        5: (0, 1),
+        6: (1, 1),   # self-loop counts both sides
+        7: (1, 0),
+    }
+
+
+def test_host_link_edges_aggregates_parent_to_host(spark):
+    rows = [
+        ("http://a.com/1", None, "a.com"),              # seed: no edge
+        ("http://b.com/x", "http://a.com/1", "b.com"),
+        ("http://b.com/y", "http://a.com/1", "b.com"),  # weight 2
+        ("http://c.com/z", "http://b.com/x", "c.com"),
+        ("http://c.com/w", "", "c.com"),                # empty parent
+    ]
+    frontier = spark.createDataFrame(
+        rows, "url string, parent_url string, host string"
+    )
+    got = {
+        (r["src_host"], r["dst_host"]): r["weight"]
+        for r in gr.host_link_edges(frontier).collect()
+    }
+    assert got == {("a.com", "b.com"): 2, ("b.com", "c.com"): 1}
+
+
+def test_pagerank_total_mass_is_bounded(spark):
+    """Dropped dangling mass + floor division only ever LOSE mass:
+    sum(rank) <= n * scale after any number of iterations (a cheap
+    global invariant that catches double-counted contributions)."""
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    out = gr.pagerank(df, iters=5)
+    n = out.count()
+    total = out.agg(F.sum("rank_micro")).collect()[0][0]
+    assert total <= n * gr.PR_SCALE

@@ -657,3 +657,61 @@ def q_aimd_budgets_sql() -> str:
             JOIN ord o ON o.host = f.host AND o.rn = f.rn + 1) s)
     SELECT host, round, budget, ewma_err FROM fold WHERE rn >= 1
     """
+
+
+# ---------------------------------------------------------------------------
+# host link-graph analytics (datapipe/graph.py)
+# ---------------------------------------------------------------------------
+# The crawl's own link graph (frontier parent_host -> host edges,
+# graph.host_link_edges) is job-local, so the gate exercises the graph
+# operators over a discovery-shaped edge list from the star schema:
+# customer -> supplier edges through orders/lineitem (who discovered
+# whom), supplier node ids offset into a disjoint range exactly like
+# two hosts sharing an id space never could collide.
+
+_LINKGRAPH_EDGES_SQL = """
+SELECT CAST(o_custkey AS BIGINT) AS src,
+       CAST(l_suppkey + 1000000 AS BIGINT) AS dst
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+
+def _linkgraph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).cast("long").alias("dst"),
+        )
+    )
+
+
+def q_host_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph degrees (graph.degrees) — exact bigint in/out degree
+    per node over the distinct discovery edges."""
+    from zeno_spark.datapipe import graph as gr
+
+    return gr.degrees(_linkgraph_edges(spark, sf_dir))
+
+
+def q_host_degrees_sql() -> str:
+    from zeno_spark.datapipe import graph as gr
+
+    return gr.degrees_sql(_LINKGRAPH_EDGES_SQL)
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (graph.pagerank, K=5 iterations)
+    over the discovery edge list — hash-exact by the integer-arithmetic
+    determinism discipline (graph.py module docstring)."""
+    from zeno_spark.datapipe import graph as gr
+
+    return gr.pagerank(_linkgraph_edges(spark, sf_dir))
+
+
+def q_host_pagerank_sql() -> str:
+    from zeno_spark.datapipe import graph as gr
+
+    return gr.pagerank_sql(_LINKGRAPH_EDGES_SQL)
