@@ -110,6 +110,14 @@ def main() -> None:
     ap.add_argument("--warc-out",
                     help="after the crawl, export the fetched table to "
                          ".warc.gz files in this directory (S6 sink parity)")
+    ap.add_argument("--wet-out",
+                    help="after the crawl, derive the WET text corpus "
+                         "(WARC conversion records; captions / tag-"
+                         "stripped bodies) from the fetched table")
+    ap.add_argument("--wat-out",
+                    help="after the crawl, derive the WAT metadata "
+                         "corpus (canonical-JSON envelopes incl. the "
+                         "frontier's outlinks) from the fetched table")
     ap.add_argument("--cdx-dedupe-dir",
                     help="path to a PRIOR crawl's .cdxj index: payloads "
                          "whose digest is archived there become revisit "
@@ -244,6 +252,21 @@ def main() -> None:
             "warc_records": sum(m.records for m in manifest),
             "warc_bytes": sum(m.bytes for m in manifest),
         }))
+    if args.wet_out:
+        from zeno_spark.operators.wetwat import write_wet
+
+        m = write_wet(job.fetched.read(), args.wet_out).collect()
+        print(json.dumps({"wet_files": len(m),
+                          "wet_records": sum(r.records for r in m)}))
+    if args.wat_out:
+        from zeno_spark.operators.wetwat import write_wat
+
+        m = write_wat(
+            job.fetched.read(), args.wat_out,
+            discovered=job.frontier.read(),
+        ).collect()
+        print(json.dumps({"wat_files": len(m),
+                          "wat_records": sum(r.records for r in m)}))
     spark.stop()
 
 
