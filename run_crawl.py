@@ -110,6 +110,11 @@ def main() -> None:
     ap.add_argument("--warc-out",
                     help="after the crawl, export the fetched table to "
                          ".warc.gz files in this directory (S6 sink parity)")
+    ap.add_argument("--rank-priority", action="store_true",
+                    help="link-rank frontier prioritization: newly "
+                         "discovered URLs on the top PageRank hosts "
+                         "(frontier discovery graph) enter at priority "
+                         "1 and pop ahead of FIFO peers")
     ap.add_argument("--wet-out",
                     help="after the crawl, derive the WET text corpus "
                          "(WARC conversion records; captions / tag-"
@@ -198,6 +203,7 @@ def main() -> None:
         max_rounds=args.rounds,
         schedule_strategy=args.strategy,
         adaptive_politeness=args.adaptive_politeness,
+        rank_priority=args.rank_priority,
         cdx_dedupe_dir=args.cdx_dedupe_dir,
     )
     transport = None

@@ -101,3 +101,72 @@ def test_pagerank_total_mass_is_bounded(spark):
     n = out.count()
     total = out.agg(F.sum("rank_micro")).collect()[0][0]
     assert total <= n * gr.PR_SCALE
+
+
+# ---------------------------------------------------------------------------
+# link-rank frontier prioritization (plans/crawl.py _rank_boost /
+# _update_hostrank over this module's operators)
+# ---------------------------------------------------------------------------
+
+def _rank_corpus(spark):
+    from zeno_spark import fixtures
+    from zeno_spark.fixtures import build_metadata
+
+    pages_meta, links, seeds = build_metadata(n_pages=120, n_hosts=6, seed=42)
+    return (
+        fixtures.attach_payloads(spark, pages_meta),
+        spark.createDataFrame(links),
+        spark.createDataFrame(seeds),
+    )
+
+
+def test_rank_priority_boosts_top_hosts(spark, tmp_path):
+    from zeno_spark.config import CrawlConfig
+    from zeno_spark.plans.crawl import CrawlJob
+
+    pages, links, seeds = _rank_corpus(spark)
+    # rank_priority_every=3 with max_rounds=5 => exactly ONE refresh
+    # (after round 2), so the table's final content IS the state every
+    # boosted row saw at discovery time
+    cfg = CrawlConfig(max_hops=3, per_host_budget=4, max_rounds=5,
+                      rank_priority=True, rank_priority_top=2,
+                      rank_priority_every=3)
+    job = CrawlJob(spark, str(tmp_path / "wh"), pages, links, cfg)
+    job.run(seeds=seeds, max_rounds=5)
+
+    top = {r.host for r in job.hostrank_tbl.read().collect()}
+    assert 0 < len(top) <= 2
+
+    # rows discovered in rounds 3+ (discovered_round >= 4) carry the
+    # boost exactly when their host is in that state; rows from before
+    # the refresh were never boosted
+    rows = job.frontier.read().filter(
+        F.col("redirect") == 0
+    ).select("host", "priority", "discovered_round").collect()
+    late = [r for r in rows if r.discovered_round >= 4]
+    assert late
+    for r in rows:
+        want = 1 if (r.discovered_round >= 4 and r.host in top) else 0
+        assert r.priority == want, r
+    assert any(r.priority == 1 for r in late)
+
+
+def test_rank_priority_reaches_same_fixpoint(spark, tmp_path):
+    """Prioritization reorders WITHIN the politeness budget; an
+    exhausted crawl fetches the same URL set either way."""
+    from zeno_spark.config import CrawlConfig
+    from zeno_spark.plans.crawl import CrawlJob
+
+    pages, links, seeds = _rank_corpus(spark)
+    base = dict(max_hops=2, per_host_budget=4, max_rounds=12)
+    sets = []
+    for i, extra in enumerate(
+        ({}, dict(rank_priority=True, rank_priority_top=3,
+                  rank_priority_every=1))
+    ):
+        job = CrawlJob(spark, str(tmp_path / f"wh{i}"), pages, links,
+                       CrawlConfig(**base, **extra))
+        job.run(seeds=seeds, max_rounds=12)
+        sets.append({r.url for r in
+                     job.fetched.read().select("url").collect()})
+    assert sets[0] == sets[1]

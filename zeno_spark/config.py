@@ -104,6 +104,22 @@ class CrawlConfig:
                                                # additively (TCP congestion rule)
     adaptive_min_budget: int = 1
     adaptive_max_budget: int = 256
+    rank_priority: bool = False                # link-rank frontier prioritization:
+                                               # PageRank (datapipe/graph.py, fixed-
+                                               # point integer) over the frontier's
+                                               # host discovery edges; newly
+                                               # discovered rows on the top-ranked
+                                               # hosts enter at priority 1, popping
+                                               # ahead of FIFO peers in the
+                                               # politeness window.  Off by default:
+                                               # reference parity is strict host-
+                                               # round-robin + FIFO
+    rank_priority_top: int = 64                # hosts boosted (bounds the broadcast)
+    rank_priority_every: int = 4               # recompute cadence in rounds (the
+                                               # rank is a slowly-moving signal; the
+                                               # full-frontier edge aggregation is
+                                               # the expensive part at scale)
+    rank_priority_iters: int = 3               # PageRank iterations per recompute
     round_seconds: float = 60.0                # wall-clock a round models for the
                                                # Crawl-delay -> budget mapping (same
                                                # logical clock as streaming/live.py)

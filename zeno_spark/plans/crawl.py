@@ -62,7 +62,7 @@ from zeno_spark.operators.schedule import (
 
 _TABLES = (
     "frontier", "seen", "claimed", "fetched", "metrics", "metadata", "bloom",
-    "robots_tbl", "budgets_tbl",
+    "robots_tbl", "budgets_tbl", "hostrank_tbl",
 )
 
 
@@ -200,6 +200,10 @@ class CrawlJob:
         # fold_budgets_step) — acceleration state like BLOOM, derivable
         # from the metrics lineage and rollback-consistent
         self.budgets_tbl = self.catalog.table("budgets", schemas.BUDGETS)
+        # link-rank prioritization state: top hosts by PageRank over the
+        # frontier's discovery edges (schemas.HOSTRANK); recomputed every
+        # cfg.rank_priority_every rounds, consumed as a bounded broadcast
+        self.hostrank_tbl = self.catalog.table("hostrank", schemas.HOSTRANK)
         # live-robots cache as a CATALOG TABLE (not a driver-held union
         # chain): appended per round under the round marker, so lineage
         # depth stays constant, rollback keeps it consistent with the
@@ -391,6 +395,61 @@ class CrawlJob:
             .select("host", "budget")
         )
 
+    def _rank_boost(self, new_rows: DataFrame) -> DataFrame:
+        """Link-rank frontier prioritization (cfg.rank_priority): newly
+        discovered rows whose host is in the hostrank state (the top
+        cfg.rank_priority_top hosts by PageRank over the discovery
+        graph, `_update_hostrank`) enter the frontier at priority >= 1,
+        so the politeness window (schedule.py: priority ranks above the
+        fifo/lifo strategy order) pops them ahead of FIFO peers.  The
+        rank side is bounded by config, so the join is always a tiny
+        broadcast; carried priorities (redirect continuations) are
+        never lowered (greatest)."""
+        if not self.cfg.rank_priority:
+            return new_rows
+        top = self.hostrank_tbl.read().select(
+            "host", F.lit(1).alias("__boost")
+        )
+        return (
+            new_rows.join(F.broadcast(top), "host", "left")
+            .withColumn(
+                "priority",
+                F.greatest(
+                    F.col("priority"),
+                    F.coalesce(F.col("__boost"), F.lit(0)),
+                ),
+            )
+            .drop("__boost")
+        )
+
+    def _update_hostrank(self) -> None:
+        """Recompute the hostrank state from the frontier's accumulated
+        discovery edges (datapipe/graph.py: host_link_edges ->
+        fixed-point PageRank), truncated to the top
+        cfg.rank_priority_top hosts (rank desc, host asc tiebreak —
+        deterministic).  Runs every cfg.rank_priority_every rounds
+        inside the round's commit scope, so a crash before the marker
+        rolls it back with everything else; like BLOOM/BUDGETS it is
+        pure acceleration state, derivable from the frontier table.
+
+        Scale note: the edge aggregation scans the frontier once and
+        reduces to one row per (src_host, dst_host); the PageRank
+        iteration state is one bigint pair per HOST.  The cadence knob
+        exists because the scan is the expensive part at 10^10-row
+        frontiers — rank is a slowly-moving signal, so amortize it."""
+        from zeno_spark.datapipe.graph import host_link_edges, pagerank
+
+        edges = host_link_edges(self.frontier.read()).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        ranks = pagerank(edges, iters=self.cfg.rank_priority_iters)
+        top = (
+            ranks.orderBy(F.col("rank_micro").desc(), F.col("node").asc())
+            .limit(self.cfg.rank_priority_top)
+            .select(F.col("node").alias("host"), "rank_micro")
+        )
+        self.hostrank_tbl.rewrite(top)
+
     def _update_budgets(self, metric_rows: DataFrame, round_no: int) -> None:
         """Fold this round's per-host metrics into the budget state —
         one native AIMD transition (politeness.fold_budgets_step), the
@@ -573,9 +632,11 @@ class CrawlJob:
         cand = cand.cache()
 
         in_batch = dedup.in_batch_dedupe(cand)
-        new = dedup.dedupe_against_seen(
-            in_batch, self.seen.read(), use_bloom=cfg.bloom_prefilter,
-            n_buckets=cfg.bloom_buckets, bloom_index=self._bloom_index(),
+        new = self._rank_boost(
+            dedup.dedupe_against_seen(
+                in_batch, self.seen.read(), use_bloom=cfg.bloom_prefilter,
+                n_buckets=cfg.bloom_buckets, bloom_index=self._bloom_index(),
+            )
         ).cache()
 
         frontier_cols = [f.name for f in schemas.FRONTIER.fields]
@@ -703,6 +764,15 @@ class CrawlJob:
             totals = metric_rows.groupBy().agg(
                 *[F.sum(k).alias(k) for k in kinds]
             ).collect()[0]
+
+        # link-rank state refresh (sequential, AFTER the frontier append
+        # so this round's discoveries join the graph; still inside the
+        # commit scope — the marker below is the only trusted point)
+        if cfg.rank_priority and (
+            (round_no + 1) % max(1, cfg.rank_priority_every) == 0
+        ):
+            with timer.stage("hostrank"):
+                self._update_hostrank()
 
         # compaction (inside the round's commit scope: a crash before the
         # marker rolls the rewrite back with everything else)

@@ -230,5 +230,21 @@ BUDGETS = T.StructType(
     ]
 )
 
+# hostrank — link-rank frontier-prioritization state (plans/crawl.py
+# _update_hostrank): fixed-point PageRank (datapipe/graph.py) over the
+# frontier's host discovery edges, recomputed every
+# cfg.rank_priority_every rounds and truncated to the top
+# cfg.rank_priority_top hosts; newly discovered rows on these hosts
+# enter the frontier at priority >= 1 so the politeness window pops
+# them first (the north rule's priority queue, fed by link analysis).
+# Acceleration state like BLOOM/BUDGETS: derivable from the frontier
+# table, rollback-consistent via the round marker.
+HOSTRANK = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("rank_micro", T.LongType(), False),
+    ]
+)
+
 # seeds — URL-per-line seed list (queue/item.go:53-102)
 SEEDS = T.StructType([T.StructField("url", T.StringType(), False)])
