@@ -24,6 +24,7 @@ from zeno_spark import queries as Q  # noqa: E402
 from zeno_spark.datapipe import clusters as cl  # noqa: E402
 from zeno_spark.datapipe import dedup as dd  # noqa: E402
 from zeno_spark.datapipe import multimodal as mm  # noqa: E402
+from zeno_spark.datapipe import select as sel  # noqa: E402
 from zeno_spark.datapipe import similarity as sim  # noqa: E402
 from zeno_spark.datapipe import text as tx  # noqa: E402
 
@@ -119,6 +120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl-sink perceptual dedupe (phash_near_dup_marks) over a
         # deterministic 64-bit key derived from the docs' simhash
         "phash_near_dup": lambda s, d: mm.phash_marks_over_docs(_docs(s, d)),
+        # corpus-selection capstone (datapipe/select.py): quality +
+        # langid + near-dup keep-marks + deterministic fingerprint
+        # sample composed into the selected training corpus
+        "corpus_select": lambda s, d: sel.corpus_select(_docs(s, d)),
         # similarity tier (datapipe/similarity.py)
         "ann_cosine_topk": lambda s, d: sim.cosine_topk(_embs(s, d)),
         "dedup_embedding": lambda s, d: sim.cosine_pairs(_embs(s, d)),
@@ -176,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": cl.dedup_clusters_sql(),
         "dedup_simhash": dd.simhash_pairs_sql(),
         "phash_near_dup": mm.phash_marks_sql(),
+        "corpus_select": sel.corpus_select_sql(),
         "ann_cosine_topk": sim.cosine_topk_sql(),
         "dedup_embedding": sim.cosine_pairs_sql(),
         "embedding_clusters": cl.embedding_clusters_sql(),

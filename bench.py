@@ -116,6 +116,9 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_indexed",
+    "host_degrees",
+    "host_pagerank",
+    "corpus_select",
 ]
 
 
@@ -361,7 +364,7 @@ def _spin_probe_mc(workers: int = 4, duration: float = 0.3) -> float:
 
 
 def _settle(best_rate: float, best_mc: float,
-            max_wait: float = 90.0) -> tuple[float, float, float]:
+            max_wait: float | None = None) -> tuple[float, float, float]:
     """Bounded settle gate before each scaling leg: re-probe until BOTH
     the single-thread spin rate and the 4-process aggregate rate
     recover to >=85% of the best seen this run (or the wait budget runs
@@ -370,6 +373,11 @@ def _settle(best_rate: float, best_mc: float,
     leg in the artifact carries its own contention evidence (r3 verdict
     next-round item #1: 'record the per-leg draws + a contention
     probe')."""
+    if max_wait is None:
+        # 240s default since the 0.727 contended-window run (BASELINE.md):
+        # that window's noise episodes outlasted the old 90s bound, and a
+        # longer settle only DELAYS measurement — it can never inflate it
+        max_wait = float(os.environ.get("ZENO_BENCH_SETTLE_WAIT", "240"))
     t0 = time.time()
     rate, mc = _spin_probe(), _spin_probe_mc()
     while (
@@ -464,7 +472,11 @@ def main() -> None:
     # contention episode (probe 24.1M vs 40M best) — hi draws are the
     # cheap side and the binding constraint, and under the one-sided
     # noise model an extra draw only tightens the capacity estimate
-    for _ in range(int(os.environ.get("ZENO_BENCH_HI_EXTRA", "3"))):
+    # default 4 since the 0.727 contended run: 8 hi draws there never
+    # found a clean window while the lo side drew a turbo-assisted best —
+    # hi draws are the cheap side AND the binding constraint, and under
+    # the one-sided noise model extra draws only tighten the estimate
+    for _ in range(int(os.environ.get("ZENO_BENCH_HI_EXTRA", "4"))):
         reps[high_n].append(_timed_leg(high_n))
     def _pair_best():
         low = max(reps[low_n], key=lambda r: r["fetched_pages_per_sec"])
@@ -511,6 +523,19 @@ def main() -> None:
         "scaling_low_pages_per_sec": low["fetched_pages_per_sec"],
         "scaling_low_urls_per_sec": low["frontier_urls_per_sec"],
         "scaling_efficiency": efficiency,
+        # clock context for the pair the ratio used: lo-best leg's
+        # single-thread spin rate over the hi-best leg's PER-CORE
+        # aggregate rate at launch.  >1.0 means the lo draw ran on
+        # measurably faster silicon (single-core turbo / quieter
+        # window) than the hi draw — a local-VM asymmetry the
+        # equal-clock cluster this pair proxies does not have; the
+        # headline number is NOT corrected by it, this is context for
+        # reading a marginal artifact (BASELINE.md)
+        "scaling_clock_skew": round(
+            low.get("probe_spin_per_sec", 0)
+            / max(1.0, crawl.get("probe_spin4_per_sec", 0) / high_n),
+            3,
+        ),
         "scaling_reps_pages_per_sec": {
             str(c): [r["fetched_pages_per_sec"] for r in rs]
             for c, rs in reps.items()
