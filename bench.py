@@ -376,8 +376,16 @@ def _settle(best_rate: float, best_mc: float,
     if max_wait is None:
         # 240s default since the 0.727 contended-window run (BASELINE.md):
         # that window's noise episodes outlasted the old 90s bound, and a
-        # longer settle only DELAYS measurement — it can never inflate it
-        max_wait = float(os.environ.get("ZENO_BENCH_SETTLE_WAIT", "240"))
+        # longer settle only DELAYS measurement — it can never inflate it.
+        # The RUN-TOTAL settle spend is bounded (default 1200s) so a
+        # persistently contended box degrades to short settles instead of
+        # adding 13 x 240s of wall to the driver's bench window.
+        budget = float(os.environ.get("ZENO_BENCH_SETTLE_BUDGET", "1200"))
+        remaining = max(0.0, budget - _settle.spent)
+        max_wait = min(
+            float(os.environ.get("ZENO_BENCH_SETTLE_WAIT", "240")),
+            max(30.0, remaining),
+        )
     t0 = time.time()
     rate, mc = _spin_probe(), _spin_probe_mc()
     while (
@@ -387,7 +395,11 @@ def _settle(best_rate: float, best_mc: float,
     ):
         time.sleep(5)
         rate, mc = _spin_probe(), _spin_probe_mc()
+    _settle.spent += time.time() - t0
     return rate, mc, round(os.getloadavg()[0], 2)
+
+
+_settle.spent = 0.0
 
 
 def _crawl_in_subprocess(cores: int, sf: float) -> dict:
