@@ -174,3 +174,21 @@ def test_wet_gzip_members_parse_individually(fetched, spark, tmp_path):
             raw = fh.read()
         # whole-file decompress handles concatenated members
         assert gzip.decompress(raw).startswith(b"WARC/1.1")
+
+
+def test_wet_corpus_feeds_the_datapipe_text_tier(spark, fetched, tmp_path):
+    """The loop the derived formats exist for: archive -> WET text
+    corpus -> datapipe analysis, with no access to the original
+    crawl's tables."""
+    from pyspark.sql import functions as F
+
+    from zeno_spark.datapipe.text import token_stats
+
+    out = str(tmp_path / "wet")
+    ww.write_wet(fetched, out, rotate_bytes=1 << 20)
+    docs = ww.read_wet(spark, out).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    stats = {r.doc_id: r.n_tokens for r in token_stats(docs).collect()}
+    assert stats["http://a.com/1"] == 3      # "a red square"
+    assert stats["http://c.com/p"] == 3      # "Hello & welcome"
