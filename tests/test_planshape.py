@@ -252,3 +252,33 @@ def test_candidate_joins_declare_explicit_parallelism(docs, embs):
     }
     for name, plan in pair_plans.items():
         assert "RepartitionByExpression" in plan, name
+
+
+def test_rank_boost_join_stays_broadcast(spark, tmp_path):
+    """The link-rank priority boost joins new frontier rows against the
+    hostrank state, which is bounded by cfg.rank_priority_top — the
+    join must therefore be a broadcast (never a shuffle of the frontier
+    side on host)."""
+    from pyspark.sql import functions as F
+
+    from zeno_spark.config import CrawlConfig
+    from zeno_spark.plans.crawl import CrawlJob
+
+    cfg = CrawlConfig(rank_priority=True, rank_priority_top=4)
+    pages = spark.createDataFrame(
+        [], "url string, host string, image_id string, bytes binary, "
+            "w int, h int, fmt string, caption string, phash long, "
+            "status int")
+    job = CrawlJob(spark, str(tmp_path / "wh"), pages, None, cfg)
+    job.hostrank_tbl.append(spark.createDataFrame(
+        [("h1.com", 1000000), ("h2.com", 900000)],
+        "host string, rank_micro long"))
+    new = spark.createDataFrame(
+        [("http://h1.com/a", "h1.com", 0), ("http://x.com/b", "x.com", 0)],
+        "url string, host string, priority int")
+    boosted = job._rank_boost(new)
+    plan = boosted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    got = {r.host: r.priority for r in boosted.collect()}
+    assert got == {"h1.com": 1, "x.com": 0}
