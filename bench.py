@@ -14,9 +14,26 @@ Prints ONE JSON line:
   {"metric": "fetched_pages_per_sec", "value": N, "unit": "sec",
    "queries": {...}, "sf": ..., ...extra keys...}
 
-Scaling-efficiency protocol (BASELINE.md): run twice with
-SPARK_GRAFT_CPUS=8 and =32 on the same input; efficiency =
-(throughput_32 / throughput_8) / 4.
+Fail-safe artifact discipline (r4 post-mortem: BENCH_r04.json was
+rc=124/parsed:null because the JSON printed only at the very end and
+the hardened protocol's worst case outran the driver's wall-clock
+window):
+
+- an overall DEADLINE budget (ZENO_BENCH_DEADLINE, default 2800 s)
+  degrades the draw schedule gracefully — optional legs are skipped
+  when the remaining budget (minus a query-loop reserve) can't afford
+  them at the measured per-leg cost; the estimator itself never
+  changes (per-leg best over whatever draws were affordable);
+- the artifact line is emitted INCREMENTALLY — after every scaling
+  leg and after every timed query, marked "partial": true — so the
+  driver's output tail always contains a fresh complete-so-far JSON
+  line even if the process is killed mid-run;
+- SIGTERM/SIGINT print a final best-so-far line before exiting, so a
+  timeout can never again leave zero evidence.
+
+Scaling-efficiency protocol (BASELINE.md): run the crawl at two
+parallelism levels on the same input; efficiency =
+(throughput_hi / throughput_lo) / (hi_cores / lo_cores).
 """
 
 from __future__ import annotations
@@ -24,6 +41,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import signal
 import subprocess
 import sys
 import tempfile
@@ -83,6 +101,31 @@ IMG_DIMS = (
 # fewer hosts = deeper per-host FIFO + hotter salt buckets).
 HOST_DENSITY = int(os.environ.get("ZENO_BENCH_HOST_DENSITY", "200"))
 
+# ---- wall-clock budget (r4 verdict item #1) --------------------------
+# Overall deadline for the whole bench run.  r3's COMPLETED run took
+# 3235 s inside the driver's window; r4's hardened protocol overran it
+# (rc 124).  2800 s default leaves margin under the only window bound
+# we have evidence for, and every knob stays env-tunable.
+DEADLINE = float(os.environ.get("ZENO_BENCH_DEADLINE", "2800"))
+# Wall reserved for the contract-query block (session spin-up + warmup
+# + 35 slots; measured ~230-300 s at 12 slots — BASELINE.md r4 runs).
+QUERY_RESERVE = float(os.environ.get("ZENO_BENCH_QUERY_RESERVE", "420"))
+# Safety factor applied to the measured per-leg cost when deciding
+# whether the budget can afford one more optional draw.
+LEG_COST_MARGIN = float(os.environ.get("ZENO_BENCH_LEG_MARGIN", "1.2"))
+# Pre-measurement cost guesses (only used before the first leg of that
+# level completes; the mandatory first pair runs unconditionally).
+_DEFAULT_LEG_COST = {1: 600.0, 4: 260.0}
+
+# ---- contention-verdict thresholds (r4 verdict item #2) --------------
+# A leg whose launch probes read below PROBE_ACCEPT x the run's best
+# was measured under depressed silicon (neighbor burst / hypervisor
+# quota); a pair whose clock skew exceeds SKEW_FLAG ran its lo and hi
+# best draws on measurably unequal clocks.  Thresholds are the ones
+# BASELINE.md's 0.727/0.738 post-mortems derived.
+PROBE_ACCEPT = float(os.environ.get("ZENO_BENCH_PROBE_ACCEPT", "0.85"))
+SKEW_FLAG = float(os.environ.get("ZENO_BENCH_SKEW_FLAG", "1.05"))
+
 BENCH_QUERIES = [
     "schedule_window",
     "seen_antijoin",
@@ -128,49 +171,6 @@ def parse_sf(sf_dir: str) -> float:
         return float(name.replace("sf", ""))
     except ValueError:
         return 0.1
-
-
-def _run_crawl(spark, n_pages: int, n_hosts: int, rounds: int, seed_frac: int):
-    """One crawl job on a fresh corpus; returns (stats, wall, n_corpus).
-    Seeds = every seed_frac'th 200-status html page (deterministic by
-    xxhash64), so round volume reflects corpus scale, not just the
-    expansion ramp."""
-    from pyspark.sql import functions as F
-
-    from zeno_spark.config import CrawlConfig
-    from zeno_spark.fixtures import build_corpus
-    from zeno_spark.plans.crawl import CrawlJob
-
-    corpus = build_corpus(spark, n_pages=n_pages, n_hosts=n_hosts, seed=42)
-    pages = corpus["pages"].cache()
-    links = corpus["links"].cache()
-    n_corpus = pages.count()
-    links.count()
-    seeds = (
-        pages.filter(
-            (F.col("content_type") == "text/html")
-            & (F.pmod(F.xxhash64("url"), seed_frac) == 0)
-        )
-        .select("url", F.pmod(F.xxhash64("url"), F.lit(1 << 40)).alias("line"))
-    )
-
-    warehouse = tempfile.mkdtemp(prefix="zeno_bench_")
-    cfg = CrawlConfig(
-        max_hops=4,
-        per_host_budget=256,
-        host_salt_buckets=8,
-        bloom_prefilter=True,
-        max_rounds=rounds,
-        compact_every=0,
-    )
-    job = CrawlJob(spark, warehouse, pages, links, cfg)
-    t0 = time.time()
-    stats = job.run(seeds=seeds, max_rounds=rounds)
-    wall = time.time() - t0
-    pages.unpersist()
-    links.unpersist()
-    shutil.rmtree(warehouse, ignore_errors=True)
-    return stats, wall, n_corpus
 
 
 def _corpus_dims(sf: float) -> tuple[str, int, int]:
@@ -308,7 +308,7 @@ def bench_crawl_at(cores: int, sf: float) -> dict:
     }
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str, on_query=None) -> dict[str, float]:
     """Time each contract query on a WARM session.  The r02 numbers
     regressed 2-7x on the first few slots purely from measurement
     context (cold JVM: executor spin-up, first codegen, first Python
@@ -316,7 +316,10 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     query ran first).  An untimed warmup pass over a representative mix
     (window + shuffle + parquet scan + pandas-UDF paths) puts the timed
     loop in the steady state a long-running cluster actually serves
-    queries from, so the per-query slots are comparable across rounds."""
+    queries from, so the per-query slots are comparable across rounds.
+
+    ``on_query(name, seconds)`` is called after each slot so the caller
+    can refresh the incremental artifact line (fail-safe discipline)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -328,6 +331,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)
+        if on_query is not None:
+            on_query(name, out[name])
     return out
 
 
@@ -347,15 +352,17 @@ def _spin_probe(duration: float = 0.3) -> float:
     return n / (time.perf_counter() - t0)
 
 
-def _spin_probe_mc(workers: int = 4, duration: float = 0.3) -> float:
+def _spin_probe_mc(workers: int, duration: float = 0.3) -> float:
     """Aggregate arithmetic throughput of ``workers`` CONCURRENT
     processes — the multi-core contention signal the single-thread
     probe cannot see.  Measured failure mode (BASELINE.md warm-shape
     postmortem): hi legs cratered to ~50% while single-thread probes
     held ~32M/s — a neighbor burst or hypervisor CPU quota can depress
-    4-core capacity while one thread still gets full silicon.  Probing
-    at the hi leg's own parallelism makes that visible and lets the
-    settle gate wait it out."""
+    multi-core capacity while one thread still gets full silicon.
+    ``workers`` is always the HI leg's own parallelism (high_n) so the
+    per-core denominator in scaling_clock_skew is exact for any
+    ZENO_BENCH_HIGH_CORES (r4 ADVICE low #1: the old hard-coded
+    4-worker probe made the skew context wrong when high_n != 4)."""
     from concurrent.futures import ProcessPoolExecutor
 
     with ProcessPoolExecutor(max_workers=workers) as pool:
@@ -363,16 +370,16 @@ def _spin_probe_mc(workers: int = 4, duration: float = 0.3) -> float:
     return sum(rates)
 
 
-def _settle(best_rate: float, best_mc: float,
+def _settle(best_rate: float, best_mc: float, mc_workers: int,
             max_wait: float | None = None) -> tuple[float, float, float]:
     """Bounded settle gate before each scaling leg: re-probe until BOTH
-    the single-thread spin rate and the 4-process aggregate rate
-    recover to >=85% of the best seen this run (or the wait budget runs
-    out — a persistently contended window is recorded, not hidden).
-    Returns (spin rate, 4-proc aggregate rate, 1-min loadavg) so every
-    leg in the artifact carries its own contention evidence (r3 verdict
-    next-round item #1: 'record the per-leg draws + a contention
-    probe')."""
+    the single-thread spin rate and the mc_workers-process aggregate
+    rate recover to >=85% of the best seen this run (or the wait budget
+    runs out — a persistently contended window is recorded, not
+    hidden).  Returns (spin rate, mc aggregate rate, 1-min loadavg) so
+    every leg in the artifact carries its own contention evidence (r3
+    verdict next-round item #1: 'record the per-leg draws + a
+    contention probe')."""
     if max_wait is None:
         # 240s default since the 0.727 contended-window run (BASELINE.md):
         # that window's noise episodes outlasted the old 90s bound, and a
@@ -387,14 +394,14 @@ def _settle(best_rate: float, best_mc: float,
             max(30.0, remaining),
         )
     t0 = time.time()
-    rate, mc = _spin_probe(), _spin_probe_mc()
+    rate, mc = _spin_probe(), _spin_probe_mc(mc_workers)
     while (
         ((best_rate and rate < 0.85 * best_rate)
          or (best_mc and mc < 0.85 * best_mc))
         and time.time() - t0 < max_wait
     ):
         time.sleep(5)
-        rate, mc = _spin_probe(), _spin_probe_mc()
+        rate, mc = _spin_probe(), _spin_probe_mc(mc_workers)
     _settle.spent += time.time() - t0
     return rate, mc, round(os.getloadavg()[0], 2)
 
@@ -411,8 +418,6 @@ def _crawl_in_subprocess(cores: int, sf: float) -> dict:
     server teardown (PythonAccumulatorV2 'Broken pipe' noise in the
     r01 bench log; benign — rc=0, oracle suite exact — but noisy).
     Subprocess isolation removes the race instead of ignoring it."""
-    import subprocess
-
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__),
          "--crawl-worker", str(cores), str(sf)],
@@ -427,6 +432,188 @@ def _crawl_in_subprocess(cores: int, sf: float) -> dict:
     )
 
 
+def contention_verdict(reps: dict[int, list[dict]], low_n: int, high_n: int,
+                       low_best: dict, hi_best: dict,
+                       mc_workers: int) -> dict:
+    """Reduce the per-leg probe evidence to a machine-readable verdict
+    (r4 verdict item #2) so a marginal efficiency self-adjudicates
+    without a human reading the BASELINE.md post-mortems.  Pure
+    function over the leg dicts — unit-tested on synthetic probe
+    series in tests/test_bench.py.
+
+    Per-leg ``accepted`` = the leg launched on silicon within
+    PROBE_ACCEPT (0.85) of the run's best on BOTH probes (single-thread
+    spin AND the high_n-process aggregate — the two measured failure
+    modes: single-core turbo skew and multi-core-only neighbor bursts).
+
+    ``contended`` = the reported ratio likely UNDER-measures the plan:
+    the hi-best draw itself launched depressed, or the pair's clock
+    skew exceeds SKEW_FLAG (1.05 — lo best ran on measurably faster
+    silicon than hi best, the 0.727 run's failure mode).
+
+    ``inflation_risk`` = the opposite direction, recorded for honesty:
+    the LO-best draw launched depressed, so the denominator may
+    under-read lo capacity and the reported efficiency may be
+    optimistic."""
+    legs = [r for rs in reps.values() for r in rs]
+    best_spin = max((r.get("probe_spin_per_sec") or 0) for r in legs)
+    best_mc = max((r.get("probe_spin_mc_per_sec") or 0) for r in legs)
+
+    def accepted(leg: dict) -> bool:
+        spin = leg.get("probe_spin_per_sec") or 0
+        mc = leg.get("probe_spin_mc_per_sec") or 0
+        return (spin >= PROBE_ACCEPT * best_spin
+                and mc >= PROBE_ACCEPT * best_mc)
+
+    skew = round(
+        (low_best.get("probe_spin_per_sec") or 0)
+        / max(1.0, (hi_best.get("probe_spin_mc_per_sec") or 0) / mc_workers),
+        3,
+    )
+    lo_ok = accepted(low_best)
+    hi_ok = accepted(hi_best)
+    return {
+        "scaling_clock_skew": skew,
+        "contended": bool(skew > SKEW_FLAG or not hi_ok),
+        "inflation_risk": bool(not lo_ok),
+        "pair_low_accepted": lo_ok,
+        "pair_hi_accepted": hi_ok,
+        "legs_accepted": {
+            str(c): [accepted(r) for r in rs] for c, rs in reps.items()
+        },
+        "probe_accept_threshold": PROBE_ACCEPT,
+        "skew_flag_threshold": SKEW_FLAG,
+    }
+
+
+class _BenchState:
+    """Mutable run state + incremental artifact emission.  Every
+    ``emit`` prints a fresh, fully-parseable JSON line with everything
+    measured so far ("partial": true until the final line), so the
+    driver's tail-capture always holds evidence regardless of where a
+    timeout lands.  SIGTERM/SIGINT route through ``emit`` too."""
+
+    def __init__(self, sf: float, low_n: int, high_n: int) -> None:
+        self.sf = sf
+        self.low_n = low_n
+        self.high_n = high_n
+        self.t0 = time.time()
+        self.reps: dict[int, list[dict]] = {low_n: [], high_n: []}
+        self.queries: dict[str, float] = {}
+        self.q_cores: int | None = None
+        self.corpus_build_sec: float | None = None
+        self.draws_skipped = 0
+        self.leg_walls: dict[int, list[float]] = {low_n: [], high_n: []}
+
+    # -- budget -------------------------------------------------------
+    def remaining(self) -> float:
+        return DEADLINE - (time.time() - self.t0)
+
+    def est_leg_cost(self, cores: int) -> float:
+        walls = self.leg_walls.get(cores) or []
+        if walls:
+            return max(walls)
+        return _DEFAULT_LEG_COST.get(
+            cores, _DEFAULT_LEG_COST[max(_DEFAULT_LEG_COST)])
+
+    def affordable(self, cores: int) -> bool:
+        """Can the budget afford one more optional leg at this level and
+        still leave the query-loop reserve?  35 s covers the settle
+        floor + inter-leg sleep."""
+        return (self.remaining() - QUERY_RESERVE
+                > LEG_COST_MARGIN * self.est_leg_cost(cores) + 35.0)
+
+    def settle_cap(self, next_cores: int) -> float:
+        """Additional per-settle cap from the deadline: never let a
+        settle wait eat the budget the next leg itself needs."""
+        slack = (self.remaining() - QUERY_RESERVE
+                 - LEG_COST_MARGIN * self.est_leg_cost(next_cores))
+        return max(10.0, slack)
+
+    # -- estimator ----------------------------------------------------
+    def pair_best(self):
+        low = max(self.reps[self.low_n],
+                  key=lambda r: r["fetched_pages_per_sec"])
+        hi = max(self.reps[self.high_n],
+                 key=lambda r: r["fetched_pages_per_sec"])
+        eff = round(
+            (hi["fetched_pages_per_sec"] / low["fetched_pages_per_sec"])
+            / (self.high_n / self.low_n),
+            3,
+        )
+        return low, hi, eff
+
+    # -- artifact -----------------------------------------------------
+    def assemble(self, partial: bool, progress: str) -> dict:
+        result: dict = {
+            "metric": "fetched_pages_per_sec",
+            "value": None,
+            "unit": "sec",
+            "queries": dict(self.queries),
+            "sf": self.sf,
+            "cpus": CPUS,
+            "partial": partial,
+            "progress": progress,
+            "deadline_sec": DEADLINE,
+            "draws_skipped_for_budget": self.draws_skipped,
+        }
+        if self.corpus_build_sec is not None:
+            result["corpus_build_sec"] = round(self.corpus_build_sec, 2)
+        if self.q_cores is not None:
+            result["query_cores"] = self.q_cores
+        if self.reps[self.low_n] and self.reps[self.high_n]:
+            low, hi, eff = self.pair_best()
+            result["value"] = hi["fetched_pages_per_sec"]
+            result.update(
+                {k: v for k, v in hi.items() if k != "cores"})
+            result["crawl_cores"] = self.high_n
+            result["scaling_low_cores"] = low["cores"]
+            result["scaling_low_pages_per_sec"] = low["fetched_pages_per_sec"]
+            result["scaling_low_urls_per_sec"] = low["frontier_urls_per_sec"]
+            result["scaling_efficiency"] = eff
+            result.update(contention_verdict(
+                self.reps, self.low_n, self.high_n, low, hi, self.high_n))
+            result["scaling_reps_pages_per_sec"] = {
+                str(c): [r["fetched_pages_per_sec"] for r in rs]
+                for c, rs in self.reps.items()
+            }
+            # contention evidence per leg, same order as the reps
+            # lists: [single-thread spin/s, high_n-proc aggregate
+            # spin/s, load1]
+            result["scaling_probes"] = {
+                str(c): [
+                    [r.get("probe_spin_per_sec"),
+                     r.get("probe_spin_mc_per_sec"), r.get("probe_load1")]
+                    for r in rs
+                ]
+                for c, rs in self.reps.items()
+            }
+            result["probe_mc_workers"] = self.high_n
+        result["total_wall_sec"] = round(time.time() - self.t0, 2)
+        return result
+
+    def emit(self, progress: str, final: bool = False) -> None:
+        print(json.dumps(self.assemble(partial=not final, progress=progress)),
+              flush=True)
+
+
+def _install_signal_emitters(state: _BenchState) -> None:
+    """A timeout kill must never again leave zero evidence (r4:
+    rc=124/parsed:null).  GNU timeout TERMs the whole process group, so
+    the Spark subprocess dies alongside us; this handler prints the
+    best-so-far artifact line LAST (landing inside the driver's output
+    tail) and exits immediately."""
+    def _handler(signum, frame):
+        try:
+            state.emit(progress=f"terminated_by_signal_{signum}")
+            sys.stdout.flush()
+        finally:
+            os._exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _handler)
+    signal.signal(signal.SIGINT, _handler)
+
+
 def main() -> None:
     from zeno_spark.session import get_spark
 
@@ -438,7 +625,6 @@ def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--build-corpus":
         build_corpus_dir(float(sys.argv[2]))
         return
-    t0 = time.time()
     # the N / 4N scaling pair on the same input (sandbox proxy for two
     # cluster sizes, BASELINE.md protocol).  Default pair is (1, 4):
     # the measured host CPU curve (BASELINE.md) saturates at ~12.5
@@ -449,10 +635,14 @@ def main() -> None:
     # SCALING_REPS note: contention noise is one-sided).
     low_n = int(os.environ.get("ZENO_BENCH_LOW_CORES", "1"))
     high_n = int(os.environ.get("ZENO_BENCH_HIGH_CORES", "4"))
+    state = _BenchState(sf, low_n, high_n)
+    _install_signal_emitters(state)
+    tb0 = time.time()
     subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--build-corpus", str(sf)],
         check=True,
     )
+    state.corpus_build_sec = time.time() - tb0
     # flush the corpus build's dirty pages before the first timed leg —
     # background writeback otherwise steals IO/CPU from it
     os.sync()
@@ -461,110 +651,93 @@ def main() -> None:
 
     def _timed_leg(cores: int) -> dict:
         nonlocal best_rate, best_mc
-        rate, mc, load1 = _settle(best_rate, best_mc)
+        rate, mc, load1 = _settle(
+            best_rate, best_mc, high_n,
+            max_wait=min(
+                float(os.environ.get("ZENO_BENCH_SETTLE_WAIT", "240")),
+                max(30.0, float(os.environ.get(
+                    "ZENO_BENCH_SETTLE_BUDGET", "1200")) - _settle.spent),
+                state.settle_cap(cores),
+            ),
+        )
         best_rate = max(best_rate, rate)
         best_mc = max(best_mc, mc)
+        t_leg = time.time()
         leg = _crawl_in_subprocess(cores, sf)
+        state.leg_walls[cores].append(time.time() - t_leg)
         leg["probe_spin_per_sec"] = round(rate)
-        leg["probe_spin4_per_sec"] = round(mc)
+        leg["probe_spin_mc_per_sec"] = round(mc)
         leg["probe_load1"] = load1
+        state.reps[cores].append(leg)
         return leg
 
-    reps: dict[int, list[dict]] = {low_n: [], high_n: []}
-    for _ in range(SCALING_REPS):
-        for cores in (low_n, high_n):
-            reps[cores].append(_timed_leg(cores))
-            time.sleep(10)  # let page-cache writeback settle between legs
-    # one extra HI rep: measured same-config hi legs swing up to ~2x on
+    # draw schedule: the first (lo, hi) pair is MANDATORY — the
+    # artifact must always carry at least one measured ratio.  Every
+    # later draw is optional and budget-gated: skipped (and counted)
+    # when the remaining deadline minus the query reserve can't afford
+    # it at the measured per-leg cost.  Degradation order is the
+    # schedule order itself — later symmetric pairs first, extra hi
+    # draws last — so a tight window degrades toward the r3-era
+    # smaller protocol rather than overrunning the driver's window.
+    schedule: list[tuple[int, bool]] = [(low_n, True), (high_n, True)]
+    for _ in range(1, SCALING_REPS):
+        schedule += [(low_n, False), (high_n, False)]
+    # extra HI reps: measured same-config hi legs swing up to ~2x on
     # this shared hypervisor (one-sided noise) and the hi leg is ~1/4
     # the cost of a lo leg — the reported ratio's binding constraint is
-    # an unlucky hi sample, so buy one more draw where it's cheap
-    # default 3 since r4: the final-tree confirmation run passed at
-    # 0.806 with one hi leg cratered to 553 under a measured 40%
-    # contention episode (probe 24.1M vs 40M best) — hi draws are the
-    # cheap side and the binding constraint, and under the one-sided
-    # noise model an extra draw only tightens the capacity estimate
-    # default 4 since the 0.727 contended run: 8 hi draws there never
-    # found a clean window while the lo side drew a turbo-assisted best —
-    # hi draws are the cheap side AND the binding constraint, and under
-    # the one-sided noise model extra draws only tighten the estimate
-    for _ in range(int(os.environ.get("ZENO_BENCH_HI_EXTRA", "4"))):
-        reps[high_n].append(_timed_leg(high_n))
-    def _pair_best():
-        low = max(reps[low_n], key=lambda r: r["fetched_pages_per_sec"])
-        crawl = max(reps[high_n], key=lambda r: r["fetched_pages_per_sec"])
-        eff = round(
-            (crawl["fetched_pages_per_sec"] / low["fetched_pages_per_sec"])
-            / (high_n / low_n),
-            3,
-        )
-        return low, crawl, eff
+    # an unlucky hi sample, so buy more draws where they're cheap.
+    # Default 4 since the 0.727 contended run: 8 hi draws there never
+    # found a clean window while the lo side drew a turbo-assisted
+    # best — under the one-sided noise model extra draws only tighten
+    # the capacity estimate.
+    schedule += [(high_n, False)] * int(
+        os.environ.get("ZENO_BENCH_HI_EXTRA", "4"))
 
-    low, crawl, efficiency = _pair_best()
+    for cores, mandatory in schedule:
+        if not mandatory and not state.affordable(cores):
+            state.draws_skipped += 1
+            continue
+        _timed_leg(cores)
+        if state.reps[low_n] and state.reps[high_n]:
+            state.emit(progress="scaling")
+        time.sleep(10)  # let page-cache writeback settle between legs
+
+    low, crawl, efficiency = state.pair_best()
     # rescue pair: if the estimate lands under the 0.8 bar, buy one more
     # interleaved draw at BOTH levels (same input, same protocol).  Under
     # the one-sided-noise model the per-leg max is a capacity estimator
     # and extra draws only tighten it; drawing equally at both levels
     # keeps the estimator symmetric (an extra lo draw can only RAISE the
     # denominator), so this is a higher-confidence re-measure, not a
-    # retry-until-pass: a genuinely sub-0.8 plan still fails.
+    # retry-until-pass: a genuinely sub-0.8 plan still fails.  Rescue
+    # pairs are budget-gated on BOTH legs (symmetry is the point).
     for _ in range(int(os.environ.get("ZENO_BENCH_RESCUE_PAIRS", "2"))):
         if efficiency >= 0.8:
             break
+        if not (state.affordable(low_n) and state.affordable(high_n)):
+            state.draws_skipped += 2
+            break
         for cores in (low_n, high_n):
-            reps[cores].append(_timed_leg(cores))
+            _timed_leg(cores)
+            state.emit(progress="scaling_rescue")
             time.sleep(10)
-        low, crawl, efficiency = _pair_best()
+        low, crawl, efficiency = state.pair_best()
+
+    state.emit(progress="scaling_done")
     q_cores = min(CPUS, QUERY_CORES)
+    state.q_cores = q_cores
     spark = get_spark("zeno_bench_q", cores=q_cores,
                       shuffle_partitions=max(q_cores, 8))
-    queries = bench_queries(spark, SF_DIR)
+
+    def _on_query(name: str, sec: float) -> None:
+        state.queries[name] = sec
+        state.emit(progress=f"queries_{len(state.queries)}"
+                            f"_of_{len(BENCH_QUERIES)}")
+
+    state.queries = {}
+    bench_queries(spark, SF_DIR, on_query=_on_query)
     spark.stop()
-    total = time.time() - t0
-    result = {
-        "metric": "fetched_pages_per_sec",
-        "value": crawl["fetched_pages_per_sec"],
-        "unit": "sec",
-        "queries": queries,
-        "sf": sf,
-        "cpus": CPUS,
-        "query_cores": q_cores,
-        **{k: v for k, v in crawl.items() if k != "cores"},
-        "crawl_cores": high_n,
-        "scaling_low_cores": low["cores"],
-        "scaling_low_pages_per_sec": low["fetched_pages_per_sec"],
-        "scaling_low_urls_per_sec": low["frontier_urls_per_sec"],
-        "scaling_efficiency": efficiency,
-        # clock context for the pair the ratio used: lo-best leg's
-        # single-thread spin rate over the hi-best leg's PER-CORE
-        # aggregate rate at launch.  >1.0 means the lo draw ran on
-        # measurably faster silicon (single-core turbo / quieter
-        # window) than the hi draw — a local-VM asymmetry the
-        # equal-clock cluster this pair proxies does not have; the
-        # headline number is NOT corrected by it, this is context for
-        # reading a marginal artifact (BASELINE.md)
-        "scaling_clock_skew": round(
-            low.get("probe_spin_per_sec", 0)
-            / max(1.0, crawl.get("probe_spin4_per_sec", 0) / high_n),
-            3,
-        ),
-        "scaling_reps_pages_per_sec": {
-            str(c): [r["fetched_pages_per_sec"] for r in rs]
-            for c, rs in reps.items()
-        },
-        # contention evidence per leg, same order as the reps lists:
-        # [single-thread spin/s, 4-proc aggregate spin/s, load1]
-        "scaling_probes": {
-            str(c): [
-                [r.get("probe_spin_per_sec"),
-                 r.get("probe_spin4_per_sec"), r.get("probe_load1")]
-                for r in rs
-            ]
-            for c, rs in reps.items()
-        },
-        "total_wall_sec": round(total, 2),
-    }
-    print(json.dumps(result))
+    state.emit(progress="done", final=True)
 
 
 if __name__ == "__main__":
