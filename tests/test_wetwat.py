@@ -192,3 +192,41 @@ def test_wet_corpus_feeds_the_datapipe_text_tier(spark, fetched, tmp_path):
     stats = {r.doc_id: r.n_tokens for r in token_stats(docs).collect()}
     assert stats["http://a.com/1"] == 3      # "a red square"
     assert stats["http://c.com/p"] == 3      # "Hello & welcome"
+
+
+def test_archive_sweep_spares_derived_staging_names():
+    """ADVICE r4 low #2: write_warc's loser sweep must be scoped to its
+    own zeno-<8 digit tid>- series so a concurrent WET/WAT export
+    staging into the same directory never loses in-flight files."""
+    from zeno_spark.operators.warc import OPEN_SUFFIX, _is_own_stage_loser
+
+    assert _is_own_stage_loser("zeno-00000003-00000.warc.gz" + OPEN_SUFFIX)
+    # derived sinks' staging series: NOT this sweep's business
+    assert not _is_own_stage_loser(
+        "zeno-wet-00000003-00000.warc.gz" + OPEN_SUFFIX)
+    assert not _is_own_stage_loser(
+        "zeno-wat-00000003-00000.warc.gz" + OPEN_SUFFIX)
+    # live-capture series and published (committed) files untouched
+    assert not _is_own_stage_loser("live-00000003-00000.warc.gz"
+                                   + OPEN_SUFFIX)
+    assert not _is_own_stage_loser("zeno-00000003-00000.warc.gz")
+
+
+def test_read_wet_glob_reads_externally_named_corpora(spark, fetched,
+                                                      tmp_path):
+    """ADVICE r4 low #3: the reader's default glob selects only this
+    sink's files; an explicit glob reads a Common Crawl-named corpus
+    (*.warc.wet.gz) with the same record parser."""
+    import os
+
+    out = str(tmp_path / "wet")
+    ww.write_wet(fetched, out, rotate_bytes=1 << 20)
+    for i, path in enumerate(sorted(glob.glob(f"{out}/zeno-wet-*.warc.gz"))):
+        os.rename(path, f"{out}/CC-MAIN-fake-{i:05d}.warc.wet.gz")
+    # default glob now sees nothing; the explicit glob sees the corpus
+    assert ww.read_wet(spark, out).count() == 0
+    got = {r["url"]: r["text"]
+           for r in ww.read_wet(spark, out,
+                                glob="*.warc.wet.gz").collect()}
+    assert got["http://a.com/1"] == "a red square"
+    assert got["http://c.com/p"] == "Hello & welcome"

@@ -50,6 +50,7 @@ import gzip
 import hashlib
 import io
 import os
+import re
 import uuid
 from datetime import datetime, timedelta, timezone
 from typing import Iterator
@@ -531,6 +532,17 @@ def _write_batches(out_dir: str, rotate_bytes: int,
     return gen
 
 
+def _is_own_stage_loser(fname: str) -> bool:
+    """True iff ``fname`` is a staging (.open) file of THIS archive
+    export's ``zeno-<8 digit tid>-`` series.  Deliberately does NOT
+    match the derived sinks' ``zeno-wet-*``/``zeno-wat-*`` staging
+    series (wetwat.py:_job_commit sweeps those, prefix-scoped) so
+    concurrent exports can share a directory without the loser sweep
+    deleting each other's in-flight files."""
+    return (re.match(r"zeno-\d{8}-", fname) is not None
+            and fname.endswith(".warc.gz" + OPEN_SUFFIX))
+
+
 def write_warc(
     fetched: DataFrame, out_dir: str, rotate_bytes: int = 1 << 30,
     include_requests: bool = True,
@@ -557,9 +569,10 @@ def write_warc(
     ``read_warc`` needs anyway).  A manifest file whose staging name is
     missing at commit time raises rather than silently stranding the
     corpus (the symptom of a non-shared out_dir).  The loser sweep
-    touches only this export's ``zeno-*`` staging files, never another
-    writer's (e.g. a live capture's ``live-*`` series sharing the
-    directory).
+    touches only this export's ``zeno-<8 digit tid>-`` staging series,
+    never another writer's (a live capture's ``live-*`` series or a
+    derived WET/WAT export's ``zeno-wet-*``/``zeno-wat-*`` series
+    sharing the directory).
 
     Completed ``.warc.gz`` files from an earlier run into the same
     directory are NOT touched, so re-running the export into a
@@ -596,8 +609,7 @@ def write_warc(
             os.rename(r.warc_file + OPEN_SUFFIX, r.warc_file)
     if os.path.isdir(out_dir):  # sweep this export's losers (and prior
         for fname in os.listdir(out_dir):  # crashed runs of it)
-            if (fname.startswith("zeno-")
-                    and fname.endswith(".warc.gz" + OPEN_SUFFIX)):
+            if _is_own_stage_loser(fname):
                 os.remove(os.path.join(out_dir, fname))
     return fetched.sparkSession.createDataFrame(manifest, MANIFEST)
 

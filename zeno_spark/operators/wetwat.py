@@ -385,16 +385,22 @@ def _read_derived(spark: SparkSession, path: str, rec_type: str,
     return files.mapInArrow(parse, schema=schema)
 
 
-def read_wet(spark: SparkSession, path: str) -> DataFrame:
-    """Load a WET corpus (ours or Common Crawl-shaped) back as
-    (url, date, refers_to, text) rows — the entry point for feeding the
-    datapipe text/dedup tiers from an archive-derived corpus."""
-    return _read_derived(spark, path, "conversion", WET_ROWS,
-                         "zeno-wet-*.warc.gz")
+def read_wet(spark: SparkSession, path: str,
+             glob: str = "zeno-wet-*.warc.gz") -> DataFrame:
+    """Load a WET corpus back as (url, date, refers_to, text) rows —
+    the entry point for feeding the datapipe text/dedup tiers from an
+    archive-derived corpus.  The default ``glob`` selects only THIS
+    sink's output; pass e.g. ``glob="*.warc.wet.gz"`` to read an
+    externally produced (Common Crawl-shaped) WET corpus — the record
+    parser itself is format-level (conversion records per the WARC/1.1
+    + CC-WET layout), only the filename filter is ours."""
+    return _read_derived(spark, path, "conversion", WET_ROWS, glob)
 
 
-def read_wat(spark: SparkSession, path: str) -> DataFrame:
+def read_wat(spark: SparkSession, path: str,
+             glob: str = "zeno-wat-*.warc.gz") -> DataFrame:
     """Load a WAT corpus as (url, date, refers_to, meta-JSON) rows;
-    parse ``meta`` further with F.from_json / get_json_object."""
-    return _read_derived(spark, path, "metadata", WAT_ROWS,
-                         "zeno-wat-*.warc.gz")
+    parse ``meta`` further with F.from_json / get_json_object.  Pass
+    ``glob="*.warc.wat.gz"`` for an externally produced WAT corpus
+    (the default selects only this sink's output)."""
+    return _read_derived(spark, path, "metadata", WAT_ROWS, glob)
