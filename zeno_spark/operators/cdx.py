@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import zlib
 from typing import Iterator
 from urllib.parse import urlsplit
@@ -86,6 +87,15 @@ MANIFEST = T.StructType(
 )
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
+_IPV4_RE = re.compile(r"^\d{1,3}(\.\d{1,3}){3}$")
+
+
+def _is_ascii(s: str) -> bool:
+    try:
+        s.encode("ascii")
+        return True
+    except UnicodeEncodeError:
+        return False
 
 # the public CDX convention (pywb/OpenWayback indexers): a revisit
 # record is indexed with this mime so consumers of the on-disk .cdxj —
@@ -98,20 +108,40 @@ def surt(url: str) -> str:
     """Sort-friendly URI Reordering Transform of ``url``.
 
     Implemented subset of the public SURT convention (the ordering
-    contract CDX servers rely on): lowercase throughout, scheme
-    dropped, host labels reversed and comma-joined, default port
-    dropped (explicit non-default ports kept as ``:port``), query
-    parameters sorted bytewise, empty query/fragment dropped.  Not
-    implemented (documented, lossy-only-for-grouping features of some
-    indexers): www-stripping and session-param removal — this repo's
-    pipeline already canonicalizes URLs before they reach the fetched
-    table (functions/urls.py), so the index key stays 1:1 with the
-    stored URL.
+    contract CDX servers rely on, pinned against public edge-case
+    vectors in tests/test_cdx.py::test_surt_conformance_vectors):
+    lowercase throughout, scheme dropped, host labels reversed and
+    comma-joined, userinfo dropped, trailing host dots stripped,
+    IPv4-literal hosts kept in address order (the surt library's IP
+    exemption — reversing octets would break range scans over an IP's
+    captures), IPv6 literals kept verbatim, non-ASCII hosts
+    IDNA-encoded (matching functions/urls.py's canonicalizer so a key
+    computed from a RAW url agrees with one computed post-pipeline),
+    default port dropped (explicit non-default ports kept as
+    ``:port``), query parameters sorted bytewise, empty query/fragment
+    dropped.  Not implemented (documented, DELIBERATE divergence from
+    surt/pywb's aggressive IA canonicalizer): www-stripping and
+    session-param removal — this repo's pipeline already canonicalizes
+    URLs before they reach the fetched table (functions/urls.py), and
+    the index key stays 1:1 with the stored URL; a pywb-indexed
+    archive's ``com,example)/…`` key for ``www.example.com`` reads
+    ``com,example,www)/…`` here.
     """
     parts = urlsplit(url.strip())
     host = (parts.hostname or "").lower().strip(".")
-    key = ",".join(reversed(host.split("."))) if host else ""
-    port = parts.port
+    if host and not _is_ascii(host):
+        try:
+            host = host.encode("idna").decode("ascii")
+        except UnicodeError:
+            pass  # unencodable label: key on the raw lowercased host
+    if _IPV4_RE.match(host):
+        key = host  # IP literals are not label-reversed
+    else:
+        key = ",".join(reversed(host.split("."))) if host else ""
+    try:
+        port = parts.port
+    except ValueError:  # hostile netloc ('example.com:notaport')
+        port = None
     if port is not None and str(port) != _DEFAULT_PORTS.get(parts.scheme, ""):
         key += f":{port}"
     path = parts.path or "/"
