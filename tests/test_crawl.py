@@ -270,8 +270,10 @@ def test_robots_scale_path_crawl_identical(spark, small_corpus, tmp_path):
         for r in small_corpus["dfs"]["pages"].select("host").distinct().collect()
     )
     robots_df = spark.createDataFrame(
-        [Row(host=hosts[0], disallow_prefixes=["/img/"], crawl_delay=None),
-         Row(host=hosts[1], disallow_prefixes=[], crawl_delay=30.0)],
+        [Row(host=hosts[0], disallow_prefixes=["/img/"], crawl_delay=None,
+             sitemaps=[]),
+         Row(host=hosts[1], disallow_prefixes=[], crawl_delay=30.0,
+             sitemaps=[])],
         schema=S.ROBOTS,
     )
     runs = {}

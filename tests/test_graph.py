@@ -170,3 +170,59 @@ def test_rank_priority_reaches_same_fixpoint(spark, tmp_path):
         sets.append({r.url for r in
                      job.fetched.read().select("url").collect()})
     assert sets[0] == sets[1]
+
+
+def test_hostrank_refresh_is_incremental_and_equivalent(spark, tmp_path):
+    """r4 verdict #7 done-criteria: (a) the per-round edge fold +
+    rank refresh produce the IDENTICAL hostrank state a full frontier
+    rescan would (retry/fold duplicates absorbed by the walk's
+    distinct); (b) the refresh reads only the folded edge state — the
+    frontier table is never touched."""
+    from zeno_spark.config import CrawlConfig
+    from zeno_spark.datapipe import graph as gr
+    from zeno_spark.plans.crawl import CrawlJob
+
+    pages, links, seeds = _rank_corpus(spark)
+    cfg = CrawlConfig(max_hops=3, per_host_budget=4, max_rounds=5,
+                      rank_priority=True, rank_priority_top=4,
+                      rank_priority_every=1)
+    job = CrawlJob(spark, str(tmp_path / "wh"), pages, links, cfg)
+    job.run(seeds=seeds, max_rounds=5)
+
+    # (a) equivalence: folded-state rank == full-frontier-scan rank
+    full_edges = gr.host_link_edges(job.frontier.read()).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    ranks = gr.pagerank(full_edges, iters=cfg.rank_priority_iters)
+    want = [
+        (r.node, r.rank_micro)
+        for r in ranks.orderBy(F.desc("rank_micro"), F.asc("node"))
+        .limit(cfg.rank_priority_top).collect()
+    ]
+    got = [
+        (r.host, r.rank_micro)
+        for r in job.hostrank_tbl.read()
+        .orderBy(F.desc("rank_micro"), F.asc("host")).collect()
+    ]
+    assert got == want
+    # the folded table's DISTINCT edge set equals the full scan's
+    fold = {(r.src_host, r.dst_host)
+            for r in job.hostedges_tbl.read().collect()}
+    scan = {(r.src_host, r.dst_host)
+            for r in gr.host_link_edges(job.frontier.read()).collect()}
+    assert fold == scan
+
+    # (b) delta-only: a refresh on the established state must not read
+    # the frontier table
+    calls = []
+    orig = job.frontier.read
+
+    def _spy():
+        calls.append(1)
+        return orig()
+
+    job.frontier.read = _spy
+    try:
+        job._update_hostrank()
+    finally:
+        job.frontier.read = orig
+    assert calls == []

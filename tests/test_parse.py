@@ -229,6 +229,34 @@ Disallow: /other/
     ) == (["/x"], None)
 
 
+def test_robots_sitemap_lines():
+    """Sitemap: directives are GROUP-INDEPENDENT (sitemaps.org
+    protocol): collected from anywhere in the file, whatever User-agent
+    group surrounds them, in order, first-occurrence deduped."""
+    from zeno_spark.operators.robots import parse_robots_sitemaps
+
+    body = """\
+Sitemap: https://a.com/sm0.xml
+User-agent: other
+Disallow: /x/
+Sitemap: https://a.com/sm1.xml   # comment stripped
+
+User-agent: *
+sitemap: /relative/sm2.xml
+Sitemap: https://a.com/sm0.xml
+Sitemap:
+"""
+    assert parse_robots_sitemaps(body) == [
+        "https://a.com/sm0.xml",
+        "https://a.com/sm1.xml",
+        "/relative/sm2.xml",
+    ]
+    assert parse_robots_sitemaps("") == []
+    assert parse_robots_sitemaps(
+        "\ufeffSitemap: https://b.com/s.xml\n"
+    ) == ["https://b.com/s.xml"]
+
+
 def test_robots_gate_wildcards(spark):
     """RFC 9309 '*' (any chars) and trailing '$' (end anchor) rules must
     MATCH, not sit inert as literal prefixes — an inert wildcard rule
@@ -246,7 +274,7 @@ def test_robots_gate_wildcards(spark):
         "url string, host string",
     )
     robots = spark.createDataFrame(
-        [("w.com", ["/*?sessionid=", "/private$", "/a/*/b"], None)],
+        [("w.com", ["/*?sessionid=", "/private$", "/a/*/b"], None, [])],
         schema=schemas.ROBOTS,
     )
     kept = {r.url for r in apply_robots_gate(cand, robots).collect()}
@@ -267,7 +295,7 @@ def test_robots_gate_spark(spark):
         "url string, host string",
     )
     robots = spark.createDataFrame(
-        [("a.com", ["/private/"], None)], schema=schemas.ROBOTS
+        [("a.com", ["/private/"], None, [])], schema=schemas.ROBOTS
     )
     kept = {r.url for r in apply_robots_gate(cand, robots).collect()}
     # a.com/private blocked; unknown host b.com allowed
@@ -298,9 +326,9 @@ def test_robots_gate_shuffle_path_and_duplicate_hosts(spark):
         "url string, host string",
     ).withColumn("url_hash", F.xxhash64("url"))
     robots = spark.createDataFrame(
-        [("a.com", ["/private/"], None),
-         ("a.com", ["/blog/"], 2.0),   # duplicate host: both sets apply
-         ("c.com", [], None)],
+        [("a.com", ["/private/"], None, []),
+         ("a.com", ["/blog/"], 2.0, []),  # duplicate host: both sets apply
+         ("c.com", [], None, [])],
         schema=schemas.ROBOTS,
     )
     expect = {"http://a.com/ok", "http://b.com/private/x", "http://c.com/q"}

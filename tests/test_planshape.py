@@ -214,7 +214,7 @@ def test_robots_gate_scale_path_drops_the_forced_broadcast(spark):
         F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
     )
     robots = spark.createDataFrame(
-        [("h1.com", ["/p1"], None)], schema=schemas.ROBOTS
+        [("h1.com", ["/p1"], None, [])], schema=schemas.ROBOTS
     )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:

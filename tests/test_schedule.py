@@ -170,8 +170,10 @@ def test_long_crawl_delay_gates_across_rounds(spark):
             items.append(_item(f"http://{h}/p/{i}", h, i))
     f = _frontier(spark, items)
     delays = spark.createDataFrame(
-        [Row(host="patient.com", disallow_prefixes=[], crawl_delay=1000.0),
-         Row(host="fast.com", disallow_prefixes=[], crawl_delay=None)],
+        [Row(host="patient.com", disallow_prefixes=[], crawl_delay=1000.0,
+             sitemaps=[]),
+         Row(host="fast.com", disallow_prefixes=[], crawl_delay=None,
+             sitemaps=[])],
         schema=S.ROBOTS,
     )
     cfg = CrawlConfig(per_host_budget=4, host_salt_buckets=4)  # 60s rounds
@@ -207,8 +209,10 @@ def test_duplicate_hosts_in_side_frames_never_fan_out(spark):
     items = [_item(f"http://dup.com/p/{i}", "dup.com", i) for i in range(8)]
     f = _frontier(spark, items)
     delays = spark.createDataFrame(
-        [Row(host="dup.com", disallow_prefixes=[], crawl_delay=30.0),
-         Row(host="dup.com", disallow_prefixes=[], crawl_delay=90.0)],
+        [Row(host="dup.com", disallow_prefixes=[], crawl_delay=30.0,
+             sitemaps=[]),
+         Row(host="dup.com", disallow_prefixes=[], crawl_delay=90.0,
+             sitemaps=[])],
         schema=S.ROBOTS,
     )
     budgets = spark.createDataFrame(
@@ -238,9 +242,12 @@ def test_crawl_delay_shrinks_budget(spark):
             items.append(_item(f"http://{h}/p/{i}", h, i))
     f = _frontier(spark, items)
     delays = spark.createDataFrame(
-        [Row(host="slow.com", disallow_prefixes=[], crawl_delay=1000.0),
-         Row(host="crawl.com", disallow_prefixes=[], crawl_delay=30.0),
-         Row(host="fast.com", disallow_prefixes=[], crawl_delay=None)],
+        [Row(host="slow.com", disallow_prefixes=[], crawl_delay=1000.0,
+             sitemaps=[]),
+         Row(host="crawl.com", disallow_prefixes=[], crawl_delay=30.0,
+             sitemaps=[]),
+         Row(host="fast.com", disallow_prefixes=[], crawl_delay=None,
+             sitemaps=[])],
         schema=S.ROBOTS,
     )
     for salt in (1, 4):

@@ -27,6 +27,15 @@ class CrawlConfig:
                                                # have no pre-built robots table);
                                                # cache refreshed per round for
                                                # hosts not yet covered
+    robots_sitemaps: bool = True               # live tier only: Sitemap: lines
+                                               # in freshly fetched robots files
+                                               # become hop-0 seed candidates
+                                               # (seen-checked + admission-gated
+                                               # like any discovered URL); the
+                                               # P8 sitemap extractor then
+                                               # expands the fetched sitemap.
+                                               # Exactly-once per host by the
+                                               # uncovered-host fetch filter.
     robots_broadcast_max_hosts: int = 1_000_000
                                                # F10 join strategy: force-
                                                # broadcast the robots cache into

@@ -374,7 +374,8 @@ def build_corpus(
     the robots gate is a north-rule addition, SURVEY §2.2 F10)."""
     pages_meta, links, seeds = build_metadata(n_pages, n_hosts, seed, img_dims)
     pages = attach_payloads(spark, pages_meta)
-    robots_rows = [(h, [], None) for h in sorted(pages_meta["host"].unique())]
+    robots_rows = [(h, [], None, [])
+                   for h in sorted(pages_meta["host"].unique())]
     return {
         "pages": pages,
         "links": spark.createDataFrame(links, schema=schemas.LINKS),

@@ -63,6 +63,29 @@ def parse_robots_txt(body: str) -> tuple[list[str], float | None]:
     return prefixes, delay
 
 
+def parse_robots_sitemaps(body: str) -> list[str]:
+    """``Sitemap:`` directive values, in file order, first-occurrence
+    deduped.  Per the sitemaps.org protocol (and RFC 9309 §2.4's
+    treatment of unknown lines) Sitemap lines are GROUP-INDEPENDENT —
+    they apply regardless of any surrounding User-agent group — so this
+    is a separate pass from the * -group parse above.  Values are
+    normally absolute URLs; relative values are kept verbatim and
+    resolved against the robots.txt URL by the candidate builder's
+    enrich pass."""
+    out: list[str] = []
+    seen: set[str] = set()
+    body = body.lstrip("\ufeff")
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, value = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            value = value.strip()
+            if value and value not in seen:
+                seen.add(value)
+                out.append(value)
+    return out
+
+
 def robots_table_from_bodies(bodies: DataFrame) -> DataFrame:
     """(host, body) -> robots table rows, one mapInPandas pass."""
 
@@ -73,15 +96,81 @@ def robots_table_from_bodies(bodies: DataFrame) -> DataFrame:
                 prefixes, delay = parse_robots_txt(body or "")
                 rows.append(
                     {"host": host, "disallow_prefixes": prefixes,
-                     "crawl_delay": delay}
+                     "crawl_delay": delay,
+                     "sitemaps": parse_robots_sitemaps(body or "")}
                 )
             yield pd.DataFrame(
-                rows, columns=["host", "disallow_prefixes", "crawl_delay"]
+                rows,
+                columns=["host", "disallow_prefixes", "crawl_delay",
+                         "sitemaps"],
             )
 
     return bodies.select("host", "body").mapInPandas(
         _parse, schema=schemas.ROBOTS
     )
+
+
+def robots_sitemap_candidates(new_robots: DataFrame, cfg,
+                              round_no: int) -> DataFrame:
+    """Sitemap: URLs from freshly fetched robots rows -> FRONTIER-shaped
+    seed candidates (the most common real-crawl discovery path: robots
+    fetch -> sitemap URL -> P8 sitemap extract -> page URLs, with no
+    page ever linking them).  Semantics:
+
+      * hop 0, type 'seed' — a sitemap is a discovery root like a
+        seed-list line; URLs extracted FROM it enter at hop 1;
+      * parent_url = the host's robots.txt URL, which also anchors
+        relative Sitemap values in the shared enrich pass (P3-P6:
+        resolve, canonicalize, hash — one fused Arrow roundtrip);
+      * seen-checked and admission-gated like ANY discovered URL: the
+        rows union into the round's candidate set ahead of
+        in_batch_dedupe/dedupe_against_seen, so a sitemap URL already
+        crawled (or also discovered via links) enqueues exactly once;
+      * exactly-once across rounds/resumes by construction: the caller
+        feeds only NEWLY covered hosts (the robots cache's uncovered-
+        host filter), under the round-marker commit scope.
+
+    Scale shape: one tiny row per new host per round, all-native
+    explode + the vectorized enrich UDF — no shuffle, no collect."""
+    from pyspark.sql import functions as F
+
+    from zeno_spark.functions import urls as U
+    from zeno_spark.operators.admission import admission_predicate
+    from zeno_spark.operators.extract import discovered_seq
+
+    pairs = new_robots.filter(F.size(F.col("sitemaps")) > 0).select(
+        F.concat(
+            F.lit("http://"), F.col("host"), F.lit("/robots.txt")
+        ).alias("parent_url"),
+        F.explode(F.col("sitemaps")).alias("dst_url"),
+    )
+    resolved = (
+        pairs.withColumn(
+            "__e", U.enrich_url_udf(F.col("parent_url"), F.col("dst_url"))
+        )
+        .filter(F.col("__e.url").isNotNull())  # skip-on-parse-error
+    )
+    cand = resolved.select(
+        F.sha1(
+            F.concat_ws("|", F.lit(round_no), F.col("__e.url"))
+        ).alias("id"),
+        F.col("__e.url").alias("url"),
+        F.col("__e.url_hash").alias("url_hash"),
+        F.col("__e.host").alias("host"),
+        "parent_url",
+        F.lit(0).alias("hop"),
+        F.lit("seed").alias("type"),
+        F.lit(False).alias("bypass_seencheck"),
+        F.lit(0).alias("redirect"),
+        F.lit(0).alias("retry"),
+        discovered_seq(
+            F.lit(round_no + 1), F.col("__e.url_hash")
+        ).alias("enqueue_seq"),
+        F.lit(round_no + 1).cast("int").alias("discovered_round"),
+        F.lit(round_no + 1).cast("int").alias("not_before_round"),
+        F.lit(0).alias("priority"),
+    )
+    return cand.filter(admission_predicate(cfg))
 
 
 def _robots_fetch_rows(hosts: DataFrame, scheme: str) -> DataFrame:

@@ -62,7 +62,7 @@ from zeno_spark.operators.schedule import (
 
 _TABLES = (
     "frontier", "seen", "claimed", "fetched", "metrics", "metadata", "bloom",
-    "robots_tbl", "budgets_tbl", "hostrank_tbl",
+    "robots_tbl", "budgets_tbl", "hostrank_tbl", "hostedges_tbl",
 )
 
 
@@ -204,6 +204,12 @@ class CrawlJob:
         # frontier's discovery edges (schemas.HOSTRANK); recomputed every
         # cfg.rank_priority_every rounds, consumed as a bounded broadcast
         self.hostrank_tbl = self.catalog.table("hostrank", schemas.HOSTRANK)
+        # ...and its input: the per-round edge-delta fold (the
+        # _update_bloom discipline applied to the discovery graph), so
+        # a rank refresh reads O(edges) state, never the full frontier
+        self.hostedges_tbl = self.catalog.table(
+            "hostedges", schemas.HOSTEDGES
+        )
         # live-robots cache as a CATALOG TABLE (not a driver-held union
         # chain): appended per round under the round marker, so lineage
         # depth stays constant, rollback keeps it consistent with the
@@ -422,24 +428,55 @@ class CrawlJob:
             .drop("__boost")
         )
 
+    def _update_hostedges(self, appended: DataFrame) -> None:
+        """Fold THIS round's frontier append into the persisted
+        host-edge state (r4 verdict #7: the `_update_bloom`/
+        `_update_budgets` incremental discipline, replacing the rank
+        refresh's full frontier rescan).  ``appended`` is the cached
+        new∪retries DF the frontier append itself writes, so the fold
+        costs one narrow aggregate over rows already in memory — no
+        table scan at all.
+
+        Bootstrap: a warehouse whose edge state is empty while the
+        frontier already has discovery rows (rank_priority turned on
+        mid-crawl, or a pre-hostedges warehouse resumed) rebuilds once
+        from the full frontier — which at that point already contains
+        this round's append, so the delta is NOT added on top.
+
+        Equivalence note (tested): retries duplicate (src, dst) pairs
+        of their original rows and per-fold rows duplicate across
+        rounds — both are absorbed by the rank walk's internal
+        DISTINCT, so pagerank over this table is bit-identical to
+        pagerank over a full frontier scan; ``weight`` sums are for
+        traffic triage, compaction collapses duplicates."""
+        from zeno_spark.datapipe.graph import host_link_edges
+
+        if self.hostedges_tbl.row_count() == 0:
+            self.hostedges_tbl.rewrite(
+                host_link_edges(self.frontier.read())
+            )
+        else:
+            self.hostedges_tbl.append(host_link_edges(appended))
+
     def _update_hostrank(self) -> None:
-        """Recompute the hostrank state from the frontier's accumulated
-        discovery edges (datapipe/graph.py: host_link_edges ->
-        fixed-point PageRank), truncated to the top
-        cfg.rank_priority_top hosts (rank desc, host asc tiebreak —
-        deterministic).  Runs every cfg.rank_priority_every rounds
-        inside the round's commit scope, so a crash before the marker
-        rolls it back with everything else; like BLOOM/BUDGETS it is
-        pure acceleration state, derivable from the frontier table.
+        """Recompute the hostrank state from the PERSISTED edge state
+        (_update_hostedges; datapipe/graph.py fixed-point PageRank),
+        truncated to the top cfg.rank_priority_top hosts (rank desc,
+        host asc tiebreak — deterministic).  Runs every
+        cfg.rank_priority_every rounds inside the round's commit scope,
+        so a crash before the marker rolls it back with everything
+        else; like BLOOM/BUDGETS it is pure acceleration state,
+        derivable from the frontier table.
 
-        Scale note: the edge aggregation scans the frontier once and
-        reduces to one row per (src_host, dst_host); the PageRank
-        iteration state is one bigint pair per HOST.  The cadence knob
-        exists because the scan is the expensive part at 10^10-row
-        frontiers — rank is a slowly-moving signal, so amortize it."""
-        from zeno_spark.datapipe.graph import host_link_edges, pagerank
+        Scale note (r4 verdict #7 closed): the refresh reads one row
+        per (src_host, dst_host) per fold — O(host-graph), orders of
+        magnitude under the 10^10-row frontier the old full rescan
+        touched; the PageRank iteration state is one bigint pair per
+        HOST.  The cadence knob amortizes the K join+agg rounds, not a
+        frontier scan anymore."""
+        from zeno_spark.datapipe.graph import pagerank
 
-        edges = host_link_edges(self.frontier.read()).select(
+        edges = self.hostedges_tbl.read().select(
             F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
         )
         ranks = pagerank(edges, iters=self.cfg.rank_priority_iters)
@@ -529,11 +566,15 @@ class CrawlJob:
         pending = self.pending_frontier()
         eligible = schedulable(pending, round_no)
         gated = apply_admission(eligible, cfg)
+        sitemap_cand = None
         if cfg.robots and cfg.live_robots and self.transport is not None:
             # F10 live tier: fetch robots.txt through the transport for
-            # hosts not yet in the cache, BEFORE the gate reads it
+            # hosts not yet in the cache, BEFORE the gate reads it.
+            # Newly fetched robots may carry Sitemap: directives; those
+            # come back as hop-0 seed candidates and join the round's
+            # candidate set below (dedup/admission like any discovery).
             with timer.stage("robots"):
-                self._refresh_robots(gated)
+                sitemap_cand = self._refresh_robots(gated, round_no)
         robots_cache = self._effective_robots()
         # join-strategy decision for every robots-cache consumer this
         # round: force-broadcast only while the cache's host count
@@ -629,6 +670,10 @@ class CrawlJob:
             # same candidate pipeline; a no-op on corpora without the
             # matching hosts (native when-chain expands to empty)
             cand = cand.unionByName(sitespecific_candidates(ok, cfg, round_no))
+        if sitemap_cand is not None:
+            # robots-discovered sitemap URLs enter the SAME dedup +
+            # frontier path as every other candidate
+            cand = cand.unionByName(sitemap_cand)
         cand = cand.cache()
 
         in_batch = dedup.in_batch_dedupe(cand)
@@ -765,14 +810,18 @@ class CrawlJob:
                 *[F.sum(k).alias(k) for k in kinds]
             ).collect()[0]
 
-        # link-rank state refresh (sequential, AFTER the frontier append
-        # so this round's discoveries join the graph; still inside the
-        # commit scope — the marker below is the only trusted point)
-        if cfg.rank_priority and (
-            (round_no + 1) % max(1, cfg.rank_priority_every) == 0
-        ):
+        # link-rank state maintenance (sequential, AFTER the frontier
+        # append so this round's discoveries join the graph; still
+        # inside the commit scope — the marker below is the only
+        # trusted point): the edge-delta fold runs EVERY round (a
+        # narrow aggregate over the cached new∪retries rows), the
+        # K-iteration rank refresh on its cadence — and reads only the
+        # folded edge state, never the frontier
+        if cfg.rank_priority:
             with timer.stage("hostrank"):
-                self._update_hostrank()
+                self._update_hostedges(new.unionByName(retries))
+                if (round_no + 1) % max(1, cfg.rank_priority_every) == 0:
+                    self._update_hostrank()
 
         # compaction (inside the round's commit scope: a crash before the
         # marker rolls the rewrite back with everything else)
@@ -845,7 +894,8 @@ class CrawlJob:
             return self.robots
         return self.robots.unionByName(live)
 
-    def _refresh_robots(self, admitted: DataFrame) -> None:
+    def _refresh_robots(self, admitted: DataFrame,
+                        round_no: int) -> DataFrame | None:
         """Fetch robots.txt for hosts this round would touch that the
         cache doesn't cover yet, and APPEND them to the robots table
         (round-marker commit scope: a crash rolls the fetch back with
@@ -853,8 +903,19 @@ class CrawlJob:
         re-fetching).  The cache is one tiny row per host (it feeds a
         broadcast join), so the per-round cost is one bounded transport
         batch — and zero fetch jobs on rounds that introduce no new
-        host."""
-        from zeno_spark.operators.robots import fetch_robots_live
+        host.
+
+        Returns hop-0 seed candidates for any ``Sitemap:`` directives
+        the NEW robots rows carry (cfg.robots_sitemaps), or None.  The
+        sitemap subset is localCheckpointed before this method's cache
+        is released: the candidate DF is consumed later in the round,
+        and recomputing it from lineage would re-run the transport
+        fetch (double-counting robots hits and double-billing the
+        wire)."""
+        from zeno_spark.operators.robots import (
+            fetch_robots_live,
+            robots_sitemap_candidates,
+        )
 
         hosts = admitted.select("host").distinct()
         covered = self._effective_robots()
@@ -863,9 +924,20 @@ class CrawlJob:
                 covered.select("host"), "host", "left_anti"
             )
         new = fetch_robots_live(hosts, self.transport).cache()
+        sitemap_cand = None
         if new.count() > 0:
             self.robots_tbl.append(new)
+            if self.cfg.robots_sitemaps:
+                sm = (
+                    new.filter(F.size(F.col("sitemaps")) > 0)
+                    .select("host", "sitemaps")
+                    .localCheckpoint(eager=True)
+                )
+                sitemap_cand = robots_sitemap_candidates(
+                    sm, self.cfg, round_no
+                )
         new.unpersist()
+        return sitemap_cand
 
     def phash_near_dups(self, max_hamming: int = 3) -> DataFrame:
         """Perceptual near-dup marks over the fetched sink — the
@@ -907,6 +979,16 @@ class CrawlJob:
             tbl = getattr(self, t)
             if tbl.file_count() > self.cfg.compact_file_trigger:
                 tbl.rewrite(tbl.read())
+        # hostedges binpack additionally COLLAPSES per-fold duplicate
+        # (src, dst) rows (weights sum) — same distinct-edge set, so
+        # the rank walk is unaffected; the table shrinks to one row per
+        # host pair
+        if self.hostedges_tbl.file_count() > self.cfg.compact_file_trigger:
+            self.hostedges_tbl.rewrite(
+                self.hostedges_tbl.read()
+                .groupBy("src_host", "dst_host")
+                .agg(F.sum("weight").alias("weight"))
+            )
         # `fetched` grows one file batch per round forever; bound its
         # live file count with the manifest-level small-file merge:
         # write-sized payload files are re-referenced (metadata only,

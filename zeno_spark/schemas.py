@@ -188,6 +188,11 @@ ROBOTS = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), False),
         T.StructField("crawl_delay", T.DoubleType(), True),
+        # Sitemap: directives (sitemaps.org cross-group lines) recorded
+        # at fetch time; the live tier turns them into seed candidates
+        # exactly once per newly covered host (plans/crawl.py
+        # _refresh_robots -> operators/robots.robots_sitemap_candidates)
+        T.StructField("sitemaps", T.ArrayType(T.StringType()), True),
     ]
 )
 
@@ -243,6 +248,19 @@ HOSTRANK = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
         T.StructField("rank_micro", T.LongType(), False),
+    ]
+)
+
+# hostedges — persisted host-level discovery-edge state (the incremental
+# fold feeding _update_hostrank; r4 verdict #7).  One row per
+# (src_host, dst_host) PER FOLD — duplicates across folds are fine (the
+# rank walk distincts; compaction sums weights), what matters is that a
+# rank refresh reads THIS table, never a full frontier scan.
+HOSTEDGES = T.StructType(
+    [
+        T.StructField("src_host", T.StringType(), False),
+        T.StructField("dst_host", T.StringType(), False),
+        T.StructField("weight", T.LongType(), False),
     ]
 )
 
