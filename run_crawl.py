@@ -32,12 +32,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def main() -> None:
-    # config layering, reference order (config/config.go:98-156, minus
-    # the Consul tier): Flags > ZENO_* env > --config YAML > defaults.
+    # config layering, reference order (config/config.go:98-156, incl.
+    # the Consul remote tier): Flags > ZENO_* env > Consul KV >
+    # --config YAML > defaults.
     # The file/env layers merge into argparse DEFAULTS, so an
     # explicitly-passed flag always wins — viper's exact precedence.
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument("--config", default=None)
+    pre.add_argument("--consul-address", default=None,
+                     help="Consul agent address for the remote config "
+                          "tier (config/config.go:129-144): the YAML at "
+                          "--consul-path is read from the KV store and "
+                          "layered Flags > Env > Consul > File")
+    pre.add_argument("--consul-path", default="zeno/config.yaml",
+                     help="KV path of the remote config document")
     pre_args, _rest = pre.parse_known_args()
 
     ap = argparse.ArgumentParser(description="zeno_spark crawl driver",
@@ -78,6 +86,14 @@ def main() -> None:
                     help="with --live: fetch+parse each host's "
                          "/robots.txt through the transport (F10 live "
                          "tier) instead of needing a pre-built table")
+    ap.add_argument("--es-log",
+                    help="Elasticsearch log sink base URL (the "
+                         "reference's log/elasticsearch.go handler): "
+                         "round events index into daily "
+                         "<prefix>-YYYY.MM.DD indices alongside the "
+                         "JSONL log")
+    ap.add_argument("--es-log-index", default="zeno",
+                    help="index prefix for --es-log")
     ap.add_argument("--cores", type=int, default=None,
                     help="local-mode cores (ignored under spark-submit --master)")
     ap.add_argument("--synthetic-pages", type=int, default=0,
@@ -135,9 +151,14 @@ def main() -> None:
 
     base = {
         a.dest: a.default for a in ap._actions
-        if a.dest not in ("help", "config", "urls")
+        if a.dest not in ("help", "config", "consul_address",
+                          "consul_path", "urls")
     }
-    ap.set_defaults(**layered_defaults(base, yaml_path=pre_args.config))
+    ap.set_defaults(**layered_defaults(
+        base, yaml_path=pre_args.config,
+        consul=((pre_args.consul_address, pre_args.consul_path)
+                if pre_args.consul_address else None),
+    ))
     # `required=True` would reject a file/env-supplied warehouse: enforce
     # presence manually after the merge instead
     for a in ap._actions:
@@ -205,6 +226,8 @@ def main() -> None:
         adaptive_politeness=args.adaptive_politeness,
         rank_priority=args.rank_priority,
         cdx_dedupe_dir=args.cdx_dedupe_dir,
+        es_log_url=args.es_log or "",
+        es_log_index_prefix=args.es_log_index,
     )
     transport = None
     if args.live:

@@ -203,6 +203,15 @@ class CrawlConfig:
                                                # Spark's own event log.
     log_max_bytes: int = 16 * 1024 * 1024      # size-rotation threshold
     log_keep: int = 4                          # rotated backups retained
+    es_log_url: str = ""                       # Elasticsearch log sink
+                                               # (log/elasticsearch.go):
+                                               # base URL, "" = off; fans
+                                               # out alongside the JSONL
+                                               # handler (multi_handler.go)
+    es_log_index_prefix: str = "zeno"          # daily <prefix>-YYYY.MM.DD
+    es_log_level: str = "info"                 # min level indexed
+    es_log_user: str = ""                      # basic auth (both set = on)
+    es_log_password: str = ""
 
     def with_default_exclusions(self) -> "CrawlConfig":
         """The reference always appends archive.org/archive-it.org

@@ -242,6 +242,22 @@ class CrawlJob:
             if cfg.structured_log
             else None
         )
+        if cfg.es_log_url:
+            # Elasticsearch sink fan-out (log/elasticsearch.go +
+            # multi_handler.go analogues — operators/eslog.py);
+            # non-strict: a sink outage is counted, never kills a round
+            from zeno_spark.operators.eslog import EsLogHandler, TeeLogger
+
+            es = EsLogHandler(
+                cfg.es_log_url,
+                index_prefix=cfg.es_log_index_prefix,
+                level=cfg.es_log_level,
+                username=cfg.es_log_user,
+                password=cfg.es_log_password,
+            )
+            self.logger = (
+                TeeLogger(self.logger, es) if self.logger else es
+            )
 
     def _log(self, event: str, **fields) -> None:
         if self.logger is not None:
