@@ -128,3 +128,77 @@ def test_cli_flag_beats_env_and_file_end_to_end(tmp_path):
     assert budget == "7"      # env beats file (file said 9)
     assert hops == "3"        # untouched default
     assert wh == f"{tmp_path}/wh"  # file supplies required option
+
+
+# ---------------------------------------------------------------------------
+# Consul remote tier (configfile.fetch_consul_yaml / layered_defaults)
+# ---------------------------------------------------------------------------
+
+def _fake_consul(kv: dict[str, str]):
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            path, _, query = self.path.partition("?")
+            key = path.removeprefix("/v1/kv/")
+            if query != "raw" or key not in kv:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            body = kv[key].encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_consul_layer_precedence(tmp_path):
+    """Flags > Env > Consul > File > defaults (config.go:125-144: the
+    remote provider is read AFTER the local file, so its values shadow
+    the file's at the config layer; env still wins above both)."""
+    srv, addr = _fake_consul({
+        "zeno/config.yaml": "per-host-budget: 32\nmax-hops: 5\n"})
+    try:
+        cfg = tmp_path / "c.yaml"
+        cfg.write_text("per-host-budget: 8\nrounds: 3\n")
+        merged = layered_defaults(
+            {"per_host_budget": 16, "max_hops": 3, "rounds": 8},
+            yaml_path=str(cfg),
+            env={"ZENO_MAX_HOPS": "7"},
+            consul=(addr, "zeno/config.yaml"),
+        )
+        assert merged == {
+            "per_host_budget": 32,   # consul shadows the file's 8
+            "max_hops": 7,           # env shadows consul's 5
+            "rounds": 3,             # file only
+        }
+    finally:
+        srv.shutdown()
+
+
+def test_consul_unknown_key_and_missing_doc_fail_loudly():
+    import pytest
+
+    srv, addr = _fake_consul({"zeno/config.yaml": "not-an-option: 1\n"})
+    try:
+        with pytest.raises(ValueError, match="unknown config keys"):
+            layered_defaults({"per_host_budget": 16}, env={},
+                             consul=(addr, "zeno/config.yaml"))
+        with pytest.raises(RuntimeError, match="consul KV read failed"):
+            layered_defaults({"per_host_budget": 16}, env={},
+                             consul=(addr, "zeno/absent.yaml"))
+    finally:
+        srv.shutdown()
+    # unreachable agent: loud, never a silent default-run
+    with pytest.raises(RuntimeError, match="consul KV read failed"):
+        layered_defaults({"per_host_budget": 16}, env={},
+                         consul=("http://127.0.0.1:9", "zeno/config.yaml"))

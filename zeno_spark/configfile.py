@@ -2,9 +2,10 @@
 Flags -> Env -> YAML merge (config/config.go:98-156; viper semantics:
 an explicitly-passed flag wins, then ``ZENO_*`` environment variables
 with ``-``/``.`` mapped to ``_``, then the config file, then the
-option's default).  The Consul remote tier is out of scope (no service
-catalog in a Spark deployment's driver; the same YAML can be shipped by
-the cluster manager).
+option's default).  The Consul remote tier (config.go:129-144) is the
+same document read from Consul's KV store over its public HTTP API
+(``fetch_consul_yaml``), layered between env and the local file exactly
+as viper's read-remote-after-file ordering implies.
 
 No external YAML dependency is available in this image, so the parser
 is a deliberate SUBSET of YAML sufficient for a flat crawl config:
@@ -155,34 +156,72 @@ def _coerce(value: Any, like: Any) -> Any:
     return str(value)
 
 
+def fetch_consul_yaml(address: str, path: str,
+                      timeout: float = 5.0) -> str:
+    """Consul remote tier (config/config.go:129-144): read the config
+    FILE CONTENT from Consul's KV store via the public HTTP API —
+    ``GET <address>/v1/kv/<path>?raw`` returns the stored value bytes
+    verbatim (no base64 envelope), which for the reference is the same
+    YAML document a --config file would hold.  Failures raise loudly
+    (the reference propagates viper's remote-read error out of
+    InitConfig): a crawl must never start on silently-missing remote
+    config."""
+    import urllib.request
+
+    url = f"{address.rstrip('/')}/v1/kv/{path.lstrip('/')}?raw"
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            if resp.status >= 300:
+                raise RuntimeError(f"consul KV read failed: {resp.status}")
+            return resp.read().decode("utf-8")
+    except OSError as e:
+        raise RuntimeError(
+            f"consul KV read failed for {url}: {e}"
+        ) from e
+
+
 def layered_defaults(
     base: Mapping[str, Any],
     yaml_path: str | None = None,
     env: Mapping[str, str] | None = None,
+    consul: tuple[str, str] | None = None,
 ) -> dict[str, Any]:
-    """Merge the env and config-file layers UNDER the CLI flags:
-    returns an updated defaults dict for argparse ``set_defaults`` — an
-    explicitly-passed flag then wins automatically, which is exactly
-    viper's precedence (Flags > Env > File > defaults).
+    """Merge the env, Consul, and config-file layers UNDER the CLI
+    flags: returns an updated defaults dict for argparse
+    ``set_defaults`` — an explicitly-passed flag then wins
+    automatically, which is exactly viper's precedence
+    (Flags > Env > Consul > File > defaults; the reference reads the
+    remote provider AFTER the local file, config/config.go:125-144, so
+    remote values shadow file values at the config-file layer).
 
     ``base`` maps option dest names (snake_case) to their hardcoded
-    defaults; values from the file/env are coerced to the default's
-    type.  Unknown file keys raise (a typo'd option must not silently
-    no-op); unknown ZENO_* env vars are ignored (the environment
-    legitimately carries unrelated variables)."""
+    defaults; values from the file/consul/env are coerced to the
+    default's type.  Unknown file/consul keys raise (a typo'd option
+    must not silently no-op); unknown ZENO_* env vars are ignored (the
+    environment legitimately carries unrelated variables).
+    ``consul`` = (address, kv_path), e.g.
+    ``("http://127.0.0.1:8500", "zeno/config.yaml")``."""
     import os
 
     merged = dict(base)
-    if yaml_path:
-        with open(yaml_path) as fh:
-            file_vals = parse_simple_yaml(fh.read())
-        unknown = set(file_vals) - set(merged)
+
+    def _apply(text: str, source: str) -> None:
+        vals = parse_simple_yaml(text)
+        unknown = set(vals) - set(merged)
         if unknown:
             raise ValueError(
-                f"unknown config keys in {yaml_path}: {sorted(unknown)}"
+                f"unknown config keys in {source}: {sorted(unknown)}"
             )
-        for k, v in file_vals.items():
+        for k, v in vals.items():
             merged[k] = _coerce(v, base[k])
+
+    if yaml_path:
+        with open(yaml_path) as fh:
+            _apply(fh.read(), yaml_path)
+    if consul is not None:
+        address, kv_path = consul
+        _apply(fetch_consul_yaml(address, kv_path),
+               f"consul:{address}/{kv_path}")
     env = os.environ if env is None else env
     for k in base:
         ev = env.get(ENV_PREFIX + k.upper())
