@@ -486,6 +486,21 @@ def contention_verdict(reps: dict[int, list[dict]], low_n: int, high_n: int,
     }
 
 
+def draw_schedule(low_n: int, high_n: int, reps: int,
+                  hi_extra: int) -> list[tuple[int, bool]]:
+    """The ordered draw plan as (cores, mandatory) pairs: mandatory
+    first pair, second symmetric pair, the extra-HI hunt, remaining
+    pairs.  Ordering IS the budget-degradation preference (see the
+    call site's rationale)."""
+    schedule: list[tuple[int, bool]] = [(low_n, True), (high_n, True)]
+    if reps > 1:
+        schedule += [(low_n, False), (high_n, False)]
+    schedule += [(high_n, False)] * hi_extra
+    for _ in range(2, reps):
+        schedule += [(low_n, False), (high_n, False)]
+    return schedule
+
+
 class _BenchState:
     """Mutable run state + incremental artifact emission.  Every
     ``emit`` prints a fresh, fully-parseable JSON line with everything
@@ -675,23 +690,22 @@ def main() -> None:
     # artifact must always carry at least one measured ratio.  Every
     # later draw is optional and budget-gated: skipped (and counted)
     # when the remaining deadline minus the query reserve can't afford
-    # it at the measured per-leg cost.  Degradation order is the
-    # schedule order itself — later symmetric pairs first, extra hi
-    # draws last — so a tight window degrades toward the r3-era
-    # smaller protocol rather than overrunning the driver's window.
-    schedule: list[tuple[int, bool]] = [(low_n, True), (high_n, True)]
-    for _ in range(1, SCALING_REPS):
-        schedule += [(low_n, False), (high_n, False)]
-    # extra HI reps: measured same-config hi legs swing up to ~2x on
-    # this shared hypervisor (one-sided noise) and the hi leg is ~1/4
-    # the cost of a lo leg — the reported ratio's binding constraint is
-    # an unlucky hi sample, so buy more draws where they're cheap.
-    # Default 4 since the 0.727 contended run: 8 hi draws there never
-    # found a clean window while the lo side drew a turbo-assisted
-    # best — under the one-sided noise model extra draws only tighten
-    # the capacity estimate.
-    schedule += [(high_n, False)] * int(
-        os.environ.get("ZENO_BENCH_HI_EXTRA", "4"))
+    # it at the measured per-leg cost.  Order encodes the degradation
+    # preference a tight window should follow: second symmetric pair,
+    # then the extra HI draws, then the remaining pairs — because the
+    # measured draw variance is wildly asymmetric (run-7 evidence,
+    # BASELINE.md: consecutive lo draws 305.2/309.5, ±1.4%, while
+    # same-config hi draws swing up to 2x), the scarce-budget draws
+    # that actually move the estimator are HI hunts for a clean
+    # window, not a third lo sample of a quantity already pinned.
+    # Extra-HI rationale: hi legs are ~1/4 a lo leg's cost AND the
+    # ratio's binding constraint; under the one-sided noise model
+    # extra draws only tighten the capacity estimate (default 4 since
+    # the 0.727 contended run, where 8 hi draws never found a clean
+    # window while the lo side drew a turbo-assisted best).
+    schedule = draw_schedule(
+        low_n, high_n, SCALING_REPS,
+        int(os.environ.get("ZENO_BENCH_HI_EXTRA", "4")))
 
     for cores, mandatory in schedule:
         if not mandatory and not state.affordable(cores):

@@ -187,3 +187,21 @@ class TestIncrementalArtifact:
         assert "terminated_by_signal" in parsed["progress"]
         assert parsed["scaling_efficiency"] == round((1000.0 / 300.0) / 4, 3)
         assert exits == [128 + int(_signal.SIGTERM)]
+
+
+class TestDrawSchedule:
+    def test_order_prefers_hi_hunt_over_third_lo(self):
+        # run-7 evidence (BASELINE.md): lo draws are stable (±1.4%)
+        # while hi draws swing 2x — under budget pressure the extra-HI
+        # hunt must come before the 3rd symmetric pair
+        s = bench.draw_schedule(1, 4, reps=3, hi_extra=4)
+        assert s == [
+            (1, True), (4, True),          # mandatory pair
+            (1, False), (4, False),        # second symmetric pair
+            (4, False), (4, False), (4, False), (4, False),  # hi hunt
+            (1, False), (4, False),        # third pair, last to go
+        ]
+
+    def test_minimal_schedule_is_just_the_mandatory_pair(self):
+        assert bench.draw_schedule(1, 4, reps=1, hi_extra=0) == [
+            (1, True), (4, True)]

@@ -143,6 +143,23 @@ def test_parse_robots_bom_invariance(body):
     assert parse_robots_txt("﻿" + body) == parse_robots_txt(body)
 
 
+@COMMON
+@given(ANY_TEXT)
+def test_parse_robots_sitemaps_total_and_deduped(body):
+    """The Sitemap: pass (r5) is total on arbitrary text, returns
+    strings that actually appear as directive values, never dupes, and
+    is BOM-invariant like the group parser."""
+    from zeno_spark.operators.robots import parse_robots_sitemaps
+
+    out = parse_robots_sitemaps(body)
+    assert isinstance(out, list)
+    assert all(isinstance(v, str) and v for v in out)
+    assert len(out) == len(set(out))            # first-occurrence dedupe
+    for v in out:
+        assert v in body                         # values come from input
+    assert parse_robots_sitemaps("﻿" + body) == out
+
+
 # rule values: no '#', no control chars, no leading/trailing space —
 # what a real Disallow line carries
 RULE = st.from_regex(r"/[a-zA-Z0-9_*$.\-]{0,20}", fullmatch=True)
