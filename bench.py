@@ -409,7 +409,8 @@ def _settle(best_rate: float, best_mc: float, mc_workers: int,
 _settle.spent = 0.0
 
 
-def _crawl_in_subprocess(cores: int, sf: float) -> dict:
+def _crawl_in_subprocess(cores: int, sf: float,
+                         timeout: float | None = None) -> dict | None:
     """One scaling-pair measurement = one fresh OS process (cold JVM,
     own Python driver).  Two reasons: (a) methodology — the two
     parallelism levels are fully independent cold runs, like two
@@ -417,13 +418,32 @@ def _crawl_in_subprocess(cores: int, sf: float) -> dict:
     local SparkContext in-process races the old context's accumulator-
     server teardown (PythonAccumulatorV2 'Broken pipe' noise in the
     r01 bench log; benign — rc=0, oracle suite exact — but noisy).
-    Subprocess isolation removes the race instead of ignoring it."""
-    proc = subprocess.run(
+    Subprocess isolation removes the race instead of ignoring it.
+
+    ``timeout``: per-leg wall cap (run-9 post-mortem, BASELINE.md — a
+    contention-cratered leg ran 3x its estimate, overran the budget
+    gate's pre-leg check, and ate the query reserve; a leg that slow
+    can never win the per-leg-best estimator, so it carries zero
+    information and is killed instead).  Returns None on timeout.  The
+    worker runs in its own process group and the kill targets the
+    GROUP — SIGKILLing only the python driver would orphan its JVM
+    child, leaving a zombie executor burning the cores the next leg is
+    about to measure."""
+    proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
          "--crawl-worker", str(cores), str(sf)],
-        stdout=subprocess.PIPE, text=True,
+        stdout=subprocess.PIPE, text=True, start_new_session=True,
     )
-    for line in proc.stdout.splitlines():
+    try:
+        out, _ = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        proc.wait()
+        return None
+    for line in out.splitlines():
         if line.startswith("CRAWL_RESULT "):
             return json.loads(line[len("CRAWL_RESULT "):])
     raise RuntimeError(
@@ -518,6 +538,7 @@ class _BenchState:
         self.q_cores: int | None = None
         self.corpus_build_sec: float | None = None
         self.draws_skipped = 0
+        self.leg_timeouts = 0
         self.leg_walls: dict[int, list[float]] = {low_n: [], high_n: []}
 
     # -- budget -------------------------------------------------------
@@ -571,6 +592,7 @@ class _BenchState:
             "progress": progress,
             "deadline_sec": DEADLINE,
             "draws_skipped_for_budget": self.draws_skipped,
+            "legs_killed_at_cost_cap": self.leg_timeouts,
         }
         if self.corpus_build_sec is not None:
             result["corpus_build_sec"] = round(self.corpus_build_sec, 2)
@@ -664,7 +686,7 @@ def main() -> None:
     best_rate = 0.0
     best_mc = 0.0
 
-    def _timed_leg(cores: int) -> dict:
+    def _timed_leg(cores: int, mandatory: bool = False) -> dict | None:
         nonlocal best_rate, best_mc
         rate, mc, load1 = _settle(
             best_rate, best_mc, high_n,
@@ -677,8 +699,20 @@ def main() -> None:
         )
         best_rate = max(best_rate, rate)
         best_mc = max(best_mc, mc)
+        # per-leg wall cap for OPTIONAL draws (run-9 post-mortem): a leg
+        # at >2x its measured cost is a contention crater that can never
+        # win per-leg-best — kill its process GROUP and discard it so it
+        # cannot eat the query reserve.  Mandatory legs stay uncapped
+        # (the artifact must always carry one pair).
+        cap = None if mandatory else (
+            float(os.environ.get("ZENO_BENCH_LEG_TIMEOUT_FACTOR", "2.0"))
+            * state.est_leg_cost(cores) + 60.0
+        )
         t_leg = time.time()
-        leg = _crawl_in_subprocess(cores, sf)
+        leg = _crawl_in_subprocess(cores, sf, timeout=cap)
+        if leg is None:
+            state.leg_timeouts += 1
+            return None
         state.leg_walls[cores].append(time.time() - t_leg)
         leg["probe_spin_per_sec"] = round(rate)
         leg["probe_spin_mc_per_sec"] = round(mc)
@@ -711,7 +745,7 @@ def main() -> None:
         if not mandatory and not state.affordable(cores):
             state.draws_skipped += 1
             continue
-        _timed_leg(cores)
+        _timed_leg(cores, mandatory=mandatory)
         if state.reps[low_n] and state.reps[high_n]:
             state.emit(progress="scaling")
         time.sleep(10)  # let page-cache writeback settle between legs

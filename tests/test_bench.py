@@ -205,3 +205,55 @@ class TestDrawSchedule:
     def test_minimal_schedule_is_just_the_mandatory_pair(self):
         assert bench.draw_schedule(1, 4, reps=1, hi_extra=0) == [
             (1, True), (4, True)]
+
+
+class TestLegCostCap:
+    def test_timeout_kills_process_group_and_returns_none(self, monkeypatch):
+        """run-9 post-mortem: a leg at >2x its measured cost is a
+        contention crater that can never win per-leg-best — the worker
+        is killed (GROUP kill: SIGKILLing only the python driver would
+        orphan its JVM child) and the draw discarded."""
+        import subprocess as sp
+
+        events = []
+
+        class FakeProc:
+            pid = 4242
+
+            def communicate(self, timeout=None):
+                events.append(("communicate", timeout))
+                raise sp.TimeoutExpired(cmd="x", timeout=timeout)
+
+            def wait(self):
+                events.append(("wait",))
+
+        monkeypatch.setattr(bench.subprocess, "Popen",
+                            lambda *a, **kw: FakeProc())
+        monkeypatch.setattr(bench.os, "killpg",
+                            lambda pid, sig: events.append(("killpg", pid, sig)))
+        out = bench._crawl_in_subprocess(4, 0.1, timeout=123.0)
+        assert out is None
+        assert ("communicate", 123.0) in events
+        assert ("killpg", 4242, bench.signal.SIGKILL) in events
+        assert ("wait",) in events
+
+    def test_result_parsed_when_within_cap(self, monkeypatch):
+        class FakeProc:
+            pid = 1
+            returncode = 0
+
+            def communicate(self, timeout=None):
+                return ('CRAWL_RESULT {"cores": 4, '
+                        '"fetched_pages_per_sec": 900.0}', "")
+
+        monkeypatch.setattr(bench.subprocess, "Popen",
+                            lambda *a, **kw: FakeProc())
+        out = bench._crawl_in_subprocess(4, 0.1, timeout=500.0)
+        assert out == {"cores": 4, "fetched_pages_per_sec": 900.0}
+
+    def test_artifact_counts_killed_legs(self, capsys):
+        st = bench._BenchState(0.1, 1, 4)
+        st.leg_timeouts = 2
+        st.emit(progress="scaling")
+        parsed = json.loads(capsys.readouterr().out.strip())
+        assert parsed["legs_killed_at_cost_cap"] == 2
